@@ -1,0 +1,338 @@
+"""Video DiT as pure functions over a parameter pytree.
+
+TPU-native redesign of the reference DiT (`/root/reference/model.py:278-402`):
+same architecture — 3D patchify, 16 register tokens, 3D RoPE with random
+crop-offset augmentation, timestep MLP, N blocks of
+[AdaLN-modulated self-attn + cross-attn + MLP] with value-residual mixing,
+final AdaLN + RMSNorm + zero-init projection, un-patchify — but structured as
+an `init(rng, cfg) -> params` / `forward(params, cfg, x, context, t, ...)`
+pair so it composes with `jax.jit`, `jax.grad`, sharding annotations and
+`lax.scan` over stacked block parameters (one compiled block body regardless
+of depth; FSDP all-gathers happen per scan step, mirroring the reference's
+per-block FSDP gather, `model.py:523-533`).
+
+Parameter-tree naming deliberately preserves the reference's muP-relevant name
+substrings ("bias", "norm", "lambda", "patch_proj", "context_kv", "time",
+"modulation") so the muP lr/wd rules (`model.py:404-465`) apply identically —
+see train/mup.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_diffusion_speedrun_tpu.core.config import DiTConfig
+from video_diffusion_speedrun_tpu.models.rope import (
+    apply_rotary,
+    random_rope_offsets,
+    rope_cos_sin,
+)
+from video_diffusion_speedrun_tpu.ops.attention import attention
+from video_diffusion_speedrun_tpu.ops.embeddings import timestep_embedding
+from video_diffusion_speedrun_tpu.ops.normalization import rms_norm
+from video_diffusion_speedrun_tpu.ops.patchify import patchify, unpatchify
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, fan_in: int, fan_out: int, *, bias: bool, std_factor: float = 1.0):
+    """torch nn.Linear default init: W, b ~ U(±1/sqrt(fan_in)); weight stored
+    [fan_in, fan_out] (transposed vs torch). `std_factor` replicates the
+    reference's ×init_std_factor scaling of every 2-D weight
+    (`/root/reference/train.py:246-251`)."""
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {
+        "weight": jax.random.uniform(
+            wkey, (fan_in, fan_out), jnp.float32, -bound, bound
+        )
+        * std_factor
+    }
+    if bias:
+        p["bias"] = jax.random.uniform(bkey, (fan_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def _zero_linear(fan_in: int, fan_out: int, *, bias: bool = True):
+    p = {"weight": jnp.zeros((fan_in, fan_out), jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((fan_out,), jnp.float32)
+    return p
+
+
+def _norm_params(cfg: DiTConfig):
+    """Trainable RMSNorm scale, gated by train_bias_and_rms (`model.py:25-33`)."""
+    if cfg.train_bias_and_rms:
+        return {"scale": jnp.ones((cfg.hidden_size,), jnp.float32)}
+    return {}
+
+
+def init_block(key, cfg: DiTConfig, std_factor: float = 1.0) -> Params:
+    """One DiT block's parameters (`model.py:44-94`)."""
+    d = cfg.hidden_size
+    keys = jax.random.split(key, 8)
+    qkv_bias = cfg.train_bias_and_rms
+    p: Params = {
+        "norm1": _norm_params(cfg),
+        "qkv": _linear_init(keys[0], d, 3 * d, bias=qkv_bias, std_factor=std_factor),
+        "attn_proj": _linear_init(keys[1], d, d, bias=False, std_factor=std_factor),
+        "norm3": _norm_params(cfg),
+        "mlp": {
+            "fc1": _linear_init(keys[2], d, cfg.mlp_hidden, bias=True, std_factor=std_factor),
+            "fc2": _linear_init(keys[3], cfg.mlp_hidden, d, bias=True, std_factor=std_factor),
+        },
+        # zero-init AdaLN projection (`model.py:93-94`)
+        "adaLN_modulation": _zero_linear(d, 9 * d),
+    }
+    if cfg.residual_v:
+        # learnable value-residual mixing scalar, init 0.5 (`model.py:65-66`)
+        p["lambda_param"] = jnp.full((1,), 0.5, jnp.float32)
+    if cfg.cross_attn_input_size is not None:
+        p["norm2"] = _norm_params(cfg)
+        p["q_cross"] = _linear_init(keys[4], d, d, bias=qkv_bias, std_factor=std_factor)
+        p["context_kv"] = _linear_init(
+            keys[5], cfg.cross_attn_input_size, 2 * d, bias=qkv_bias, std_factor=std_factor
+        )
+        p["cross_proj"] = _linear_init(keys[6], d, d, bias=False, std_factor=std_factor)
+    return p
+
+
+def init_dit(key, cfg: DiTConfig, init_std_factor: float = 1.0) -> Params:
+    """Full DiT parameter tree.
+
+    `init_std_factor` scales every 2-D weight at init, replicating the
+    reference's post-construction `param.data.mul_(0.1)` (`train.py:246-251`;
+    note its "fan_in" comment is a misnomer — the multiply is unconditional).
+    Block params are stacked along a leading depth axis for `lax.scan`.
+    """
+    d = cfg.hidden_size
+    keys = jax.random.split(key, 6 + cfg.depth)
+
+    params: Params = {
+        # conv3d-equivalent patch projection (5-D in torch → NOT scaled by
+        # init_std_factor there; we match by passing std_factor=1).
+        "patch_proj": _linear_init(keys[0], cfg.patch_dim, d, bias=True),
+        "register_tokens": jax.random.normal(keys[1], (1, cfg.num_registers, d), jnp.float32),
+        "time_embed": {
+            "fc1": _linear_init(keys[2], d, 4 * d, bias=True, std_factor=init_std_factor),
+            "fc2": _linear_init(keys[3], 4 * d, d, bias=True, std_factor=init_std_factor),
+        },
+        # zero-init final AdaLN + head (`model.py:347-350`)
+        "final_modulation": _zero_linear(d, 2 * d),
+        "final_norm": _norm_params(cfg),
+        "final_proj": _zero_linear(d, cfg.out_patch_dim),
+    }
+    if not cfg.use_rope:
+        params["positional_embedding"] = jnp.zeros(
+            (1, cfg.max_tokens_no_rope, d), jnp.float32
+        )
+
+    blocks = [
+        init_block(keys[6 + i], cfg, std_factor=init_std_factor)
+        for i in range(cfg.depth)
+    ]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _dense(p: Params, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    out = jnp.dot(x, p["weight"].astype(compute_dtype))
+    if "bias" in p:
+        out = out + p["bias"].astype(compute_dtype)
+    return out
+
+
+def _modulate(x, shift, scale):
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+def block_forward(
+    bp: Params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    context: jnp.ndarray,
+    t_emb: jnp.ndarray,
+    cos: Optional[jnp.ndarray],
+    sin: Optional[jnp.ndarray],
+    v0: jnp.ndarray,
+    use_v0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DiT block (`model.py:96-167`). Returns (x, v) where v is the
+    (possibly value-residual-mixed) self-attention value tensor; the caller
+    captures block 0's v as v0 (`model.py:379-384`)."""
+    cdt = cfg.compute_dtype
+    nh, hd = cfg.num_heads, cfg.head_dim
+    b, l, d = x.shape
+
+    mod = _dense(bp["adaLN_modulation"], jax.nn.silu(t_emb), cdt)  # [B, 9D]
+    (
+        shift_sa, scale_sa, gate_sa,
+        shift_ca, scale_ca, gate_ca,
+        shift_mlp, scale_mlp, gate_mlp,
+    ) = jnp.split(mod, 9, axis=-1)
+
+    # --- Self attention ---
+    xn = rms_norm(x, bp["norm1"].get("scale"))
+    xn = _modulate(xn, shift_sa, scale_sa)
+    qkv = _dense(bp["qkv"], xn, cdt)  # [B, L, 3D]
+    # feature layout (k, h, d) — reference "b l (k h d)" (`model.py:126`)
+    qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    if cfg.residual_v:
+        lam = bp["lambda_param"].astype(cdt)
+        v = jnp.where(use_v0, lam * v + (1 - lam) * v0, v)
+
+    if cos is not None:
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+    attn_out = attention(q, k, v, impl=cfg.attention_impl)
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    attn_out = _dense(bp["attn_proj"], attn_out, cdt)
+    x = x + attn_out * gate_sa[:, None, :]
+
+    # --- Cross attention ---
+    if cfg.cross_attn_input_size is not None:
+        xn = rms_norm(x, bp["norm2"].get("scale"))
+        xn = _modulate(xn, shift_ca, scale_ca)
+        qc = _dense(bp["q_cross"], xn, cdt)
+        qc = qc.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+        ckv = _dense(bp["context_kv"], context, cdt)  # [B, Lc, 2D]
+        lc = context.shape[1]
+        ckv = ckv.reshape(b, lc, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+        kc, vc = ckv[0], ckv[1]
+        # short kv (512 tokens): XLA attention is optimal; flash adds no value
+        cross_out = attention(qc, kc, vc, impl="xla")
+        cross_out = cross_out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        cross_out = _dense(bp["cross_proj"], cross_out, cdt)
+        x = x + cross_out * gate_ca[:, None, :]
+
+    # --- MLP ---
+    xn = rms_norm(x, bp["norm3"].get("scale"))
+    xn = _modulate(xn, shift_mlp, scale_mlp)
+    h = _dense(bp["mlp"]["fc1"], xn, cdt)
+    h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
+    h = _dense(bp["mlp"]["fc2"], h, cdt)
+    x = x + h * gate_mlp[:, None, :]
+
+    return x, v
+
+
+def dit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    context: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    *,
+    rope_offsets: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """DiT forward (`model.py:358-402`).
+
+    x [B, C, T, H, W], context [B, Lc, ctx_dim], timesteps [B] → [B, C, T, H, W].
+
+    RoPE crop-offset augmentation: pass `rng` to draw random offsets per call
+    (reference behaviour, `model.py:224-226` — active at eval/sampling too), or
+    pass explicit `rope_offsets` [3] for determinism; default is zero offsets.
+    """
+    cdt = cfg.compute_dtype
+    b, c, t, h, w = x.shape
+    gt, gh, gw = t // cfg.time_patch_size, h // cfg.patch_size, w // cfg.patch_size
+    r = cfg.num_registers
+
+    tokens = patchify(
+        x, params["patch_proj"]["weight"], params["patch_proj"].get("bias"),
+        cfg.time_patch_size, cfg.patch_size, compute_dtype=cdt,
+    )  # [B, L, D]
+    regs = jnp.broadcast_to(
+        params["register_tokens"].astype(cdt), (b, r, cfg.hidden_size)
+    )
+    tokens = jnp.concatenate([regs, tokens], axis=1)  # [B, R+L, D]
+
+    if cfg.use_rope:
+        if rope_offsets is None:
+            if rng is not None:
+                rope_offsets = random_rope_offsets(
+                    rng, gt, gh, gw, cfg.rope_max_t, cfg.rope_max_h, cfg.rope_max_w
+                )
+            else:
+                rope_offsets = jnp.zeros((3,), jnp.int32)
+        cos, sin = rope_cos_sin(
+            cfg.head_dim, gt, gh, gw, rope_offsets,
+            base=cfg.rope_base, num_registers=r, order=cfg.rope_order,
+        )
+    else:
+        # working version of the reference's vestigial no-rope path
+        # (`model.py:313-314`; its forward unconditionally calls self.rope and
+        # would crash with use_rope=False)
+        cos = sin = None
+        pos = params["positional_embedding"][:, : tokens.shape[1]].astype(cdt)
+        tokens = tokens + pos
+
+    t_emb = timestep_embedding(timesteps, cfg.hidden_size).astype(cdt)
+    t_emb = _dense(params["time_embed"]["fc2"],
+                   jax.nn.silu(_dense(params["time_embed"]["fc1"], t_emb, cdt)), cdt)
+
+    ltot = tokens.shape[1]
+    v0_init = jnp.zeros((b, cfg.num_heads, ltot, cfg.head_dim), cdt)
+
+    block_fn = block_forward
+    if cfg.remat:
+        block_fn = jax.checkpoint(
+            block_forward,
+            policy=jax.checkpoint_policies.nothing_saveable,
+            static_argnums=(1,),
+        )
+
+    if cfg.scan_blocks:
+        def scan_body(carry, inputs):
+            xx, v0 = carry
+            bp, idx = inputs
+            xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0, idx > 0)
+            v0 = jnp.where(idx == 0, v, v0)
+            return (xx, v0), None
+
+        (tokens, _), _ = jax.lax.scan(
+            scan_body,
+            (tokens, v0_init),
+            (params["blocks"], jnp.arange(cfg.depth)),
+        )
+    else:
+        xx, v0 = tokens, v0_init
+        for i in range(cfg.depth):
+            bp = jax.tree.map(lambda p: p[i], params["blocks"])
+            xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0, i > 0)
+            if i == 0:
+                v0 = v
+        tokens = xx
+
+    tokens = tokens[:, r:, :]
+    fmod = _dense(params["final_modulation"], jax.nn.silu(t_emb), cdt)
+    final_shift, final_scale = jnp.split(fmod, 2, axis=-1)  # shift first (`model.py:387`)
+    tokens = rms_norm(tokens, params["final_norm"].get("scale"))
+    tokens = _modulate(tokens, final_shift, final_scale)
+    tokens = _dense(params["final_proj"], tokens, cdt)
+
+    return unpatchify(
+        tokens, gt, gh, gw, cfg.time_patch_size, cfg.patch_size, cfg.out_channels
+    )

@@ -1,0 +1,106 @@
+"""Benchmark: canonical-config DiT training step on the real TPU chip.
+
+Mirrors the reference's implicit baseline — run_debug.sh's per-device config
+(batch 8/rank, width 512, depth 24, head_dim 128; `/root/reference/
+run_debug.sh:12-25`) measured with the same semantics as its per-10-step
+average fwd+bwd step timer (`train.py:441-451`) — and reports latent
+tokens/sec/chip + MFU (BASELINE.md north star: MFU ≥ 50%).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from video_diffusion_speedrun_tpu.core.config import (
+        DiTConfig, MeshConfig, OptimizerConfig, TrainConfig,
+    )
+    from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
+    from video_diffusion_speedrun_tpu.train.step import build_train_step
+    from video_diffusion_speedrun_tpu.utils.flops import (
+        dit_train_flops, peak_flops_for,
+    )
+
+    n_dev = len(jax.devices())
+    device_kind = jax.devices()[0].device_kind
+
+    # canonical speedrun config (run_debug.sh): width 512, depth 24, head 128
+    model = DiTConfig(
+        in_channels=16, patch_size=2, time_patch_size=2, hidden_size=512,
+        depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
+        train_bias_and_rms=False,
+    )
+    B, C, T, H, W = 8 * n_dev, 16, 8, 32, 32  # batch 8 per chip
+    LC = 512
+
+    cfg = TrainConfig(
+        model=model,
+        mesh=MeshConfig(replica=1, fsdp=n_dev, tensor=1),
+        optimizer=OptimizerConfig(learning_rate=2 ** -6, scheduler="linear"),
+        batch_size=B,
+        max_steps=5004,
+        seed=0,
+    )
+    mesh = build_mesh(cfg.mesh)
+    init_fn, train_step, _, _ = build_train_step(cfg, mesh)
+    state = init_fn(jax.random.PRNGKey(0))
+
+    batch = {
+        "latent": jax.random.normal(jax.random.PRNGKey(1), (B, C, T, H, W),
+                                    jnp.bfloat16),
+        "context": jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096),
+                                     jnp.bfloat16),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    # Timing methodology: the TPU tunnel in this image makes block_until_ready
+    # unreliable and per-new-program dispatch expensive, so we (a) warm every
+    # program including the scalar readback, then (b) time two window sizes
+    # that both end in the same host readback and difference them — fixed
+    # dispatch/readback latency cancels, leaving pure per-step device time.
+    def run(n_steps, state, rng):
+        for _ in range(n_steps):
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+        return state, rng, float(metrics["loss"])
+
+    state, rng, loss = run(3, state, rng)  # compile + warm (incl. readback)
+
+    k_small, k_big = 5, 25
+    t0 = time.perf_counter()
+    state, rng, loss = run(k_small, state, rng)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, rng, loss = run(k_big, state, rng)
+    t_big = time.perf_counter() - t0
+    dt = (t_big - t_small) / (k_big - k_small)
+
+    tokens_per_sample = (T // 2) * (H // 2) * (W // 2)
+    tokens_per_sec_per_chip = B * tokens_per_sample / dt / n_dev
+    flops = dit_train_flops(model, B, T, H, W, LC)
+    mfu = flops / dt / (peak_flops_for(device_kind) * n_dev)
+
+    print(json.dumps({
+        "metric": "dit_train_tokens_per_sec_per_chip",
+        "value": round(tokens_per_sec_per_chip, 1),
+        "unit": "latent_tokens/s/chip",
+        "vs_baseline": round(mfu / 0.5, 4),  # vs the 50%-MFU north star
+        "mfu": round(mfu, 4),
+        "step_time_ms": round(dt * 1000, 2),
+        "device_kind": device_kind,
+        "n_devices": n_dev,
+        "config": "width512_depth24_head128_batch8perchip_latent16x8x32x32",
+        "loss": loss,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Jitted, sharded train / eval steps.
+
+TPU-native core of the reference train loop body (`/root/reference/
+train.py:403-434`): one `jax.jit`-compiled SPMD program per step —
+loss + backward (GSPMD reduce-scatters grads over `fsdp`), fused muP-AdamW
+update, schedule step — with the train state donated (in-place HBM update,
+the XLA analog of fused-optimizer + zero_grad(set_to_none)). Metric
+cross-replica averaging (`utils.py:11-15`) falls out of the sharded mean.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_diffusion_speedrun_tpu.core.config import TrainConfig
+from video_diffusion_speedrun_tpu.models.dit import init_dit
+from video_diffusion_speedrun_tpu.parallel.fsdp import param_shardings
+from video_diffusion_speedrun_tpu.parallel.mesh import DATA_AXES
+from video_diffusion_speedrun_tpu.train.loss import rectified_flow_loss
+from video_diffusion_speedrun_tpu.train.optim import MupAdamWState, build_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def state_shardings(params_shd: Any, mesh: Mesh) -> TrainState:
+    """Shardings for TrainState: Adam moments mirror the param shardings
+    (sharded optimizer state = ZeRO); counters replicate."""
+    repl = NamedSharding(mesh, P())
+    return TrainState(
+        params=params_shd,
+        opt_state=MupAdamWState(
+            count=repl,
+            adam=optax.ScaleByAdamState(count=repl, mu=params_shd, nu=params_shd),
+        ),
+        step=repl,
+    )
+
+
+def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    data = NamedSharding(mesh, P(DATA_AXES))
+    return {"latent": data, "context": data}
+
+
+def build_train_step(cfg: TrainConfig, mesh: Mesh):
+    """Returns (init_fn, train_step, eval_step, settings).
+
+    init_fn(rng) → TrainState, sharded over the mesh.
+    train_step(state, batch, rng) → (state, metrics); jitted, state donated.
+    eval_step(params, batch, rng) → metrics; deterministic per explicit rng,
+      mirroring the reference's seeded eval generator (`train.py:506`).
+    """
+    mcfg = cfg.model
+
+    def _make_params(rng):
+        return init_dit(rng, mcfg, init_std_factor=cfg.init_std_factor)
+
+    # Build optimizer against abstract params (shapes only).
+    params_shape = jax.eval_shape(_make_params, jax.random.PRNGKey(0))
+    tx, settings, schedule = build_optimizer(
+        params_shape, cfg.optimizer.learning_rate, cfg.max_steps, cfg.optimizer
+    )
+
+    params_shd = param_shardings(params_shape, mesh)
+    st_shd = state_shardings(params_shd, mesh)
+    b_shd = batch_shardings(mesh)
+    repl = NamedSharding(mesh, P())
+
+    def _init(rng):
+        params = _make_params(rng)
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    init_fn = jax.jit(_init, out_shardings=st_shd)
+
+    def _loss_fn(params, batch, rng):
+        return rectified_flow_loss(
+            params, mcfg, batch["latent"], batch["context"], rng,
+            alpha=cfg.time_shift_alpha, caption_dropout=cfg.caption_dropout,
+        )
+
+    def _train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = {
+            "loss": loss,
+            "diffusion_loss": loss,
+            "lr_scale": schedule(state.step),
+            "grad_norm": optax.global_norm(grads),
+            "bin_sums": aux["bin_sums"],
+            "bin_counts": aux["bin_counts"],
+        }
+        return new_state, metrics
+
+    train_step = jax.jit(
+        _train_step,
+        in_shardings=(st_shd, b_shd, repl),
+        out_shardings=(st_shd, None),
+        donate_argnums=(0,),
+    )
+
+    def _eval_step(params, batch, rng):
+        loss, aux = _loss_fn(params, batch, rng)
+        return {
+            "loss": loss,
+            "diffusion_loss": loss,
+            "bin_sums": aux["bin_sums"],
+            "bin_counts": aux["bin_counts"],
+        }
+
+    eval_step = jax.jit(_eval_step, in_shardings=(params_shd, b_shd, repl))
+
+    return init_fn, train_step, eval_step, settings

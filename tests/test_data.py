@@ -1,0 +1,141 @@
+"""Data pipeline tests: torch-free deserializer (round-trips real torch.save
+bytes), per-host sharded sampling, loader, device prefetch."""
+
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from video_diffusion_speedrun_tpu.core.config import MeshConfig
+from video_diffusion_speedrun_tpu.data.loader import (
+    DataLoader,
+    ShardedSampler,
+    default_collate,
+    device_prefetch,
+)
+from video_diffusion_speedrun_tpu.data.serialization import (
+    load_object,
+    load_tensor,
+)
+from video_diffusion_speedrun_tpu.data.synthetic import SyntheticLatentDataset
+from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
+
+
+def _torch_blob(tensor):
+    torch = pytest.importorskip("torch")
+    buf = io.BytesIO()
+    torch.save(tensor, buf)
+    return buf.getvalue()
+
+
+class TestTorchFreeDeserializer:
+    def test_float32_roundtrip(self):
+        torch = pytest.importorskip("torch")
+        t = torch.randn(16, 5, 32, 32)
+        arr = load_tensor(_torch_blob(t))
+        np.testing.assert_array_equal(arr, t.numpy())
+
+    def test_bfloat16_roundtrip(self):
+        """Cosmos latents are serialized bf16; numpy gets them via ml_dtypes."""
+        torch = pytest.importorskip("torch")
+        import ml_dtypes
+
+        t = torch.randn(4, 3, 8, 8, dtype=torch.bfloat16)
+        arr = load_tensor(_torch_blob(t))
+        assert arr.dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            arr.astype(np.float32), t.float().numpy()
+        )
+
+    def test_int_and_bool(self):
+        torch = pytest.importorskip("torch")
+        for t in [torch.arange(10), torch.tensor([True, False, True])]:
+            np.testing.assert_array_equal(load_tensor(_torch_blob(t)), t.numpy())
+
+    def test_noncontiguous_tensor(self):
+        torch = pytest.importorskip("torch")
+        t = torch.randn(6, 8).t()  # transposed (stride-swapped)
+        arr = load_tensor(_torch_blob(t))
+        np.testing.assert_array_equal(arr, t.numpy())
+
+    def test_dict_of_tensors(self):
+        torch = pytest.importorskip("torch")
+        obj = {"a": torch.randn(3), "b": {"c": torch.ones(2, 2)}}
+        out = load_object(_torch_blob(obj))
+        np.testing.assert_array_equal(out["a"], obj["a"].numpy())
+        np.testing.assert_array_equal(out["b"]["c"], obj["b"]["c"].numpy())
+
+    def test_rejects_arbitrary_objects(self):
+        torch = pytest.importorskip("torch")
+        import datetime
+        import pickle
+
+        buf = io.BytesIO()
+        torch.save({"x": torch.ones(1), "obj": datetime.datetime.now()}, buf)
+        with pytest.raises(pickle.UnpicklingError, match="refusing"):
+            load_object(buf.getvalue())
+
+
+class TestShardedSampler:
+    def test_disjoint_and_complete(self):
+        n, b, shards = 64, 2, 4
+        samplers = [ShardedSampler(n, b, s, shards, seed=1) for s in range(shards)]
+        epochs = [s.epoch(0) for s in samplers]
+        all_idx = np.concatenate([e.ravel() for e in epochs])
+        assert len(all_idx) == len(set(all_idx.tolist()))  # disjoint
+        assert len(all_idx) == n  # complete coverage
+        # same steps per shard
+        assert all(e.shape == epochs[0].shape for e in epochs)
+
+    def test_epoch_reshuffles(self):
+        s = ShardedSampler(64, 2, 0, 4, seed=1)
+        assert not np.array_equal(s.epoch(0), s.epoch(1))
+
+    def test_no_shuffle_is_sequential(self):
+        s = ShardedSampler(16, 2, 0, 2, seed=1, shuffle=False)
+        np.testing.assert_array_equal(s.epoch(0)[0], [0, 1])
+        np.testing.assert_array_equal(s.epoch(0)[1], [4, 5])
+
+    def test_drop_last(self):
+        s = ShardedSampler(65, 2, 0, 4, seed=1)
+        assert s.rows_per_epoch == 64
+
+
+class TestLoader:
+    def test_batches_shape_and_captions(self):
+        ds = SyntheticLatentDataset(num_rows=32, latent_shape=(4, 2, 8, 8))
+        sampler = ShardedSampler(32, 4, 0, 1, seed=0)
+        loader = DataLoader(ds, sampler, num_workers=2, num_epochs=1)
+        batches = list(loader)
+        assert len(batches) == 8
+        assert batches[0]["latent"].shape == (4, 4, 2, 8, 8)
+        assert len(batches[0]["caption"]) == 4
+        assert isinstance(batches[0]["caption"][0], str)
+
+    def test_deterministic_across_runs(self):
+        ds = SyntheticLatentDataset(num_rows=32, latent_shape=(4, 2, 8, 8))
+        sampler = ShardedSampler(32, 4, 0, 1, seed=0)
+        b1 = next(iter(DataLoader(ds, sampler, num_epochs=1)))
+        b2 = next(iter(DataLoader(ds, sampler, num_epochs=1)))
+        np.testing.assert_array_equal(b1["latent"], b2["latent"])
+
+    def test_device_prefetch_shards_batch(self):
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=8, tensor=1))
+        ds = SyntheticLatentDataset(num_rows=32, latent_shape=(4, 2, 8, 8))
+        sampler = ShardedSampler(32, 8, 0, 1, seed=0)
+        loader = DataLoader(ds, sampler, num_epochs=1)
+
+        def add_context(batches):
+            rng = np.random.default_rng(0)
+            for b in batches:
+                b["context"] = rng.standard_normal((8, 6, 32)).astype(np.float32)
+                yield b
+
+        out = list(device_prefetch(add_context(iter(loader)), mesh))
+        assert len(out) == 4
+        lat = out[0]["latent"]
+        assert isinstance(lat, jax.Array)
+        assert lat.shape == (8, 4, 2, 8, 8)
+        assert len(lat.sharding.device_set) == 8
+        assert isinstance(out[0]["caption"], list)

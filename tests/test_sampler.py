@@ -1,0 +1,114 @@
+"""Euler+CFG sampler tests (`/root/reference/sampling/sample.py:77-159`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_diffusion_speedrun_tpu.core.config import DiTConfig, SamplingConfig
+from video_diffusion_speedrun_tpu.models.dit import init_dit
+from video_diffusion_speedrun_tpu.sampling.euler import (
+    euler_cfg_sample,
+    generate_latents,
+    initial_latents,
+    schedule,
+)
+from video_diffusion_speedrun_tpu.train.loss import time_shift
+
+TINY = DiTConfig(
+    in_channels=4, patch_size=2, time_patch_size=2, hidden_size=64, depth=2,
+    num_heads=2, cross_attn_input_size=32, residual_v=True,
+    train_bias_and_rms=True, attention_impl="xla", compute_dtype=jnp.float32,
+)
+
+
+def _setup():
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    # unzero the head so sampling actually moves the latents
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    params["final_proj"]["weight"] = (
+        jax.random.normal(k1, params["final_proj"]["weight"].shape) * 0.05
+    )
+    params["blocks"]["adaLN_modulation"]["weight"] = (
+        jax.random.normal(k2, params["blocks"]["adaLN_modulation"]["weight"].shape)
+        * 0.02
+    )
+    lat = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, 8, 8), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 32), jnp.float32)
+    return params, lat, ctx
+
+
+class TestSchedule:
+    def test_matches_reference_loop(self):
+        """i = N…1 with the α shift on t and t_next (`sample.py:127-137`)."""
+        n, alpha = 7, 8.0
+        ts, dts = schedule(n, alpha)
+        for idx, i in enumerate(range(n, 0, -1)):
+            t = float(time_shift(jnp.array(i / n), alpha))
+            t_next = float(time_shift(jnp.array((i - 1) / n), alpha))
+            assert np.isclose(float(ts[idx]), t, atol=1e-6)
+            assert np.isclose(float(dts[idx]), t - t_next, atol=1e-6)
+
+    def test_dts_sum_to_one(self):
+        _, dts = schedule(50, 8.0)
+        assert np.isclose(float(jnp.sum(dts)), 1.0, atol=1e-5)
+
+
+class TestSampler:
+    def test_deterministic(self):
+        params, lat, ctx = _setup()
+        a = euler_cfg_sample(params, TINY, lat, ctx, num_steps=4, cfg_scale=6.0)
+        b = euler_cfg_sample(params, TINY, lat, ctx, num_steps=4, cfg_scale=6.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.dtype == jnp.float32
+
+    def test_moves_latents_and_finite(self):
+        params, lat, ctx = _setup()
+        out = euler_cfg_sample(params, TINY, lat, ctx, num_steps=4, cfg_scale=6.0)
+        assert np.isfinite(np.asarray(out)).all()
+        assert not np.allclose(np.asarray(out), np.asarray(lat), atol=1e-4)
+
+    def test_cfg_scale_one_skips_uncond(self):
+        """cfg≤1 runs a single branch (`sample.py:140` gates on cfg>1)."""
+        params, lat, ctx = _setup()
+        out1 = euler_cfg_sample(params, TINY, lat, ctx, num_steps=2, cfg_scale=1.0)
+        out6 = euler_cfg_sample(params, TINY, lat, ctx, num_steps=2, cfg_scale=6.0)
+        assert not np.allclose(np.asarray(out1), np.asarray(out6))
+
+    def test_batched_cfg_equals_two_forwards(self):
+        """The fused 2B CFG forward must equal the reference's two sequential
+        calls (with identical rope offsets)."""
+        from video_diffusion_speedrun_tpu.models.dit import dit_forward
+
+        params, lat, ctx = _setup()
+        alpha, n, s = 8.0, 3, 6.0
+        acc = lat.astype(jnp.float32)
+        for i in range(n, 0, -1):
+            t = float(time_shift(jnp.array(i / n), alpha))
+            t_next = float(time_shift(jnp.array((i - 1) / n), alpha))
+            dt = t - t_next
+            tvec = jnp.full((1,), t, jnp.float32)
+            latc = acc.astype(lat.dtype)
+            cond = dit_forward(params, TINY, latc, ctx, tvec)
+            uncond = dit_forward(params, TINY, latc, jnp.zeros_like(ctx), tvec)
+            out = uncond.astype(jnp.float32) + s * (
+                cond.astype(jnp.float32) - uncond.astype(jnp.float32))
+            acc = acc + dt * out
+        fused = euler_cfg_sample(params, TINY, lat, ctx, num_steps=n, cfg_scale=s)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(acc),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_initial_latents_shape(self):
+        cfg = SamplingConfig(height=512, width=512, num_latent_frames=16)
+        lat = initial_latents(jax.random.PRNGKey(0), cfg)
+        # (1, 16, 16, 2·(512//16), 2·(512//16)) (`sample.py:109-114`)
+        assert lat.shape == (1, 16, 16, 64, 64)
+        assert lat.dtype == jnp.bfloat16
+
+    def test_generate_latents_seeded(self):
+        params, _, ctx = _setup()
+        cfg = SamplingConfig(height=32, width=32, num_latent_frames=4,
+                             inference_steps=2, seed=7)
+        a = generate_latents(params, TINY.replace(in_channels=4), ctx, cfg)
+        b = generate_latents(params, TINY.replace(in_channels=4), ctx, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.shape == (1, 4, 4, 4, 4)

@@ -1,0 +1,164 @@
+"""Host-side data pipeline: per-host sharded sampling, background workers,
+double-buffered device prefetch.
+
+Replaces the reference's torch DataLoader factory (`/root/reference/
+utils.py:18-35`) with a TPU-first pipeline:
+
+- `ShardedSampler` gives each host a disjoint, epoch-seeded slice of the
+  split — fixing the reference's missing DistributedSampler (every rank
+  shuffled the full dataset independently; `utils.py:27-34`).
+- `DataLoader` runs a thread pool that decodes rows (torch-free) ahead of
+  consumption and collates to numpy (latents stacked to [B, C, T, H, W],
+  captions as a list — `utils.py:21-25` semantics).
+- `device_prefetch` turns host batches into sharded global `jax.Array`s and
+  keeps `depth` batches in flight so the TPU never waits on host→HBM copies.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+
+from video_diffusion_speedrun_tpu.parallel.mesh import batch_pspec
+
+
+class ShardedSampler:
+    """Deterministic per-host disjoint index stream.
+
+    Epoch e: seeded permutation of the dataset, truncated to a multiple of
+    (num_shards × batch), then strided by shard. Every host sees distinct
+    rows; the global batch is the union of host slices.
+    """
+
+    def __init__(self, num_rows: int, batch_per_shard: int, shard: int,
+                 num_shards: int, seed: int = 0, shuffle: bool = True,
+                 drop_last: bool = True):
+        if not 0 <= shard < num_shards:
+            raise ValueError(f"shard {shard} out of range [0, {num_shards})")
+        self.num_rows = num_rows
+        self.batch = batch_per_shard
+        self.shard = shard
+        self.num_shards = num_shards
+        self.seed = seed
+        self.shuffle = shuffle
+        step = batch_per_shard * num_shards
+        self.rows_per_epoch = (num_rows // step) * step
+        if self.rows_per_epoch == 0:
+            raise ValueError(
+                f"dataset ({num_rows}) smaller than one global batch ({step})"
+            )
+
+    def epoch(self, e: int) -> np.ndarray:
+        """Indices for this shard in epoch e: [steps, batch_per_shard]."""
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + e).permutation(self.num_rows)
+        else:
+            order = np.arange(self.num_rows)
+        order = order[: self.rows_per_epoch]
+        # contiguous global batches; shard takes its slice of each batch
+        batches = order.reshape(-1, self.batch * self.num_shards)
+        lo = self.shard * self.batch
+        return batches[:, lo: lo + self.batch]
+
+
+def default_collate(rows: Sequence[Dict]) -> Dict[str, Any]:
+    """Stack latents, keep captions as list (`utils.py:21-25`)."""
+    out: Dict[str, Any] = {}
+    first = rows[0]
+    for key, val in first.items():
+        if isinstance(val, np.ndarray):
+            out[key] = np.stack([r[key] for r in rows])
+        else:
+            out[key] = [r[key] for r in rows]
+    return out
+
+
+class DataLoader:
+    """Threaded look-ahead loader over (dataset, sampler)."""
+
+    def __init__(self, dataset, sampler: ShardedSampler,
+                 collate: Callable = default_collate, num_workers: int = 4,
+                 prefetch: int = 2, num_epochs: Optional[int] = None):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.collate = collate
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.num_epochs = num_epochs
+
+    def _epochs(self) -> Iterator[int]:
+        e = 0
+        while self.num_epochs is None or e < self.num_epochs:
+            yield e
+            e += 1
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for e in self._epochs():
+                        for batch_idx in self.sampler.epoch(e):
+                            if stop.is_set():
+                                return
+                            rows = list(pool.map(self.dataset.__getitem__,
+                                                 batch_idx))
+                            q.put(self.collate(rows))
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
+                    mesh: Mesh, depth: int = 2,
+                    keys: Sequence[str] = ("latent", "context")):
+    """Host batches → sharded global jax.Arrays, `depth` batches in flight.
+
+    Array-valued keys become jax.Arrays sharded batch-over-(replica, fsdp)
+    (per-host local data on multi-host via
+    `make_array_from_process_local_data`); non-array values pass through.
+    """
+    sharding = NamedSharding(mesh, batch_pspec())
+    buf = collections.deque()
+
+    def to_device(batch):
+        out = dict(batch)
+        for k in keys:
+            if k in out and isinstance(out[k], np.ndarray):
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, out[k]
+                )
+        return out
+
+    for batch in host_batches:
+        buf.append(to_device(batch))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -1,0 +1,125 @@
+"""Jitted Euler + CFG rectified-flow sampler.
+
+Semantics of the reference sampler (`/root/reference/sampling/sample.py:
+77-159`): timesteps i = N…1 with the α=8 shift applied to both t and t_next
+(`sample.py:127-137`), guidance `uncond + s·(cond − uncond)` with
+zero-embedding uncond matching the 1% train caption dropout
+(`sample.py:100-104,139-142`), fp32 accumulator with bf16 model inputs
+(`sample.py:115,145-146`), seeded initial noise
+`[B, 16, frames, 2·(H//16), 2·(W//16)]` (`sample.py:108-114`).
+
+TPU-first differences:
+- the whole trajectory is ONE compiled program (`lax.scan` over steps);
+- cond and uncond run as a single batched forward (2B) per step instead of
+  two sequential model calls (`sample.py:139-141`) — same FLOPs, better MXU
+  occupancy and half the kernel launches;
+- RoPE crop-jitter is OFF by default for deterministic sampling (the
+  reference re-jitters positions on every forward *including* between the
+  cond/uncond branches of one step — SURVEY.md §Quirks #2); pass
+  `rope_jitter_rng` to reproduce that behaviour.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from video_diffusion_speedrun_tpu.core.config import DiTConfig, SamplingConfig
+from video_diffusion_speedrun_tpu.models.dit import dit_forward
+from video_diffusion_speedrun_tpu.models.rope import random_rope_offsets
+from video_diffusion_speedrun_tpu.train.loss import time_shift
+
+
+def initial_latents(rng: jax.Array, cfg: SamplingConfig,
+                    channels: int = 16, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[1, C, frames, 2·(H//16), 2·(W//16)] seeded gaussian (`sample.py:109-114`)."""
+    shape = (1, channels, cfg.num_latent_frames,
+             2 * (cfg.height // 16), 2 * (cfg.width // 16))
+    return jax.random.normal(rng, shape, dtype)
+
+
+def schedule(num_steps: int, alpha: float):
+    """(t_i, dt_i) arrays for i = N…1 with the α shift (`sample.py:127-137`)."""
+    i = jnp.arange(num_steps, 0, -1, dtype=jnp.float32)
+    t = time_shift(i / num_steps, alpha)
+    t_next = time_shift((i - 1) / num_steps, alpha)
+    return t, t - t_next
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_cfg", "num_steps", "cfg_scale", "alpha")
+)
+def euler_cfg_sample(
+    params,
+    model_cfg: DiTConfig,
+    latents: jnp.ndarray,
+    context: jnp.ndarray,
+    *,
+    num_steps: int = 50,
+    cfg_scale: float = 6.0,
+    alpha: float = 8.0,
+    rope_jitter_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Run the full Euler trajectory; returns fp32 latents (the accumulator).
+
+    `latents` [B, C, T, h, w] (bf16 typical), `context` [B, Lc, ctx_dim]
+    (the conditional embedding; the uncond branch is zeros, `sample.py:104`).
+    """
+    b = latents.shape[0]
+    ts, dts = schedule(num_steps, alpha)
+    acc0 = latents.astype(jnp.float32)
+    do_cfg = cfg_scale > 1.0
+
+    def step(carry, inputs):
+        acc, jrng = carry
+        t, dt = inputs
+        lat = acc.astype(latents.dtype)
+        tvec = jnp.full((b,), t, jnp.float32)
+
+        if rope_jitter_rng is not None:
+            jrng, r1 = jax.random.split(jrng)
+        else:
+            r1 = None
+
+        if do_cfg:
+            # batched cond+uncond forward (one 2B model call per step)
+            x2 = jnp.concatenate([lat, lat], axis=0)
+            c2 = jnp.concatenate([context, jnp.zeros_like(context)], axis=0)
+            t2 = jnp.concatenate([tvec, tvec], axis=0)
+            out2 = dit_forward(params, model_cfg, x2, c2, t2, rng=r1)
+            cond, uncond = jnp.split(out2, 2, axis=0)
+            out = uncond.astype(jnp.float32) + cfg_scale * (
+                cond.astype(jnp.float32) - uncond.astype(jnp.float32)
+            )
+        else:
+            out = dit_forward(params, model_cfg, lat, context, tvec,
+                              rng=r1).astype(jnp.float32)
+
+        acc = acc + dt * out
+        return (acc, jrng), None
+
+    jrng0 = (rope_jitter_rng if rope_jitter_rng is not None
+             else jax.random.PRNGKey(0))
+    (acc, _), _ = jax.lax.scan(step, (acc0, jrng0), (ts, dts))
+    return acc
+
+
+def generate_latents(
+    params,
+    model_cfg: DiTConfig,
+    context: jnp.ndarray,
+    sampling: SamplingConfig,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Convenience wrapper: seeded init noise → sampled fp32 latents
+    (the `generate_image` core, `sample.py:77-159`, minus T5/decoding)."""
+    rng = jax.random.PRNGKey(sampling.seed) if rng is None else rng
+    latents = initial_latents(rng, sampling, channels=model_cfg.in_channels)
+    return euler_cfg_sample(
+        params, model_cfg, latents, context,
+        num_steps=sampling.inference_steps, cfg_scale=sampling.cfg_scale,
+        alpha=sampling.time_shift_alpha,
+    )

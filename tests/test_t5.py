@@ -1,0 +1,85 @@
+"""T5 encoder parity vs transformers' torch T5EncoderModel (random weights,
+tiny config) — the numeric check the reference never had for its frozen
+encoder (`/root/reference/utils.py:83-110`)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_diffusion_speedrun_tpu.text.t5 import (
+    T5Config,
+    convert_torch_t5,
+    encode,
+    init_t5,
+    t5_encode,
+)
+
+TINY = T5Config(
+    vocab_size=256, d_model=64, d_kv=16, d_ff=128, num_layers=3, num_heads=4,
+    compute_dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_pair():
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.T5Config(
+        vocab_size=TINY.vocab_size, d_model=TINY.d_model, d_kv=TINY.d_kv,
+        d_ff=TINY.d_ff, num_layers=TINY.num_layers, num_heads=TINY.num_heads,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.T5EncoderModel(hf_cfg).eval()
+    params = convert_torch_t5(model.state_dict(), TINY)
+    return torch, model, params
+
+
+class TestT5Parity:
+    def _ids(self, torch, b=2, l=16):
+        g = torch.Generator().manual_seed(1)
+        return torch.randint(0, TINY.vocab_size, (b, l), generator=g)
+
+    def test_last_hidden_state(self, torch_pair):
+        torch, model, params = torch_pair
+        ids = self._ids(torch)
+        with torch.no_grad():
+            want = model(ids, output_hidden_states=True)
+        got = t5_encode(params, TINY, jnp.asarray(ids.numpy()))
+        np.testing.assert_allclose(
+            np.asarray(got[-1]), want.last_hidden_state.numpy(),
+            rtol=2e-4, atol=2e-4,
+        )
+
+    def test_all_hidden_states_align(self, torch_pair):
+        torch, model, params = torch_pair
+        ids = self._ids(torch)
+        with torch.no_grad():
+            want = model(ids, output_hidden_states=True).hidden_states
+        got = t5_encode(params, TINY, jnp.asarray(ids.numpy()))
+        assert len(got) == len(want)
+        for i, (g, w) in enumerate(zip(got, want)):
+            np.testing.assert_allclose(
+                np.asarray(g), w.numpy(), rtol=2e-4, atol=2e-4,
+                err_msg=f"hidden state {i}",
+            )
+
+    def test_return_index_minus_k_renormed(self, torch_pair):
+        """encode(return_index=-2) == final_layer_norm(hidden_states[-2])
+        (`utils.py:62-69` semantics)."""
+        torch, model, params = torch_pair
+        ids = self._ids(torch)
+        with torch.no_grad():
+            hs = model(ids, output_hidden_states=True).hidden_states
+            want = model.encoder.final_layer_norm(hs[-2]).numpy()
+        got = encode(params, TINY, jnp.asarray(ids.numpy()), return_index=-2)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+    def test_random_init_runs(self):
+        params = init_t5(jax.random.PRNGKey(0), TINY)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        out = encode(params, TINY, ids, return_index=-1)
+        assert out.shape == (1, 8, TINY.d_model)
+        assert np.isfinite(np.asarray(out)).all()

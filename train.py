@@ -1,0 +1,102 @@
+"""Training CLI — flag-compatible with the reference entry point
+(`/root/reference/train.py:148-212`), plus TPU-specific knobs (mesh axes,
+dataset selection, remat/attention impl).
+
+Examples:
+  # tiny smoke on whatever devices exist (synthetic data, random context)
+  python train.py --max_steps 20 --model_width 256 --model_depth 4 \
+      --dataset synthetic
+
+  # canonical speedrun config (run_debug.sh analog)
+  python train.py --batch_size 64 --learning_rate 0.015625 --max_steps 5004 \
+      --evaluate_every 500 --model_width 512 --model_depth 24 \
+      --model_head_dim 128 --lr_scheduler_type linear
+"""
+
+import sys
+
+import click
+
+sys.path.insert(0, ".")
+
+from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
+    DataConfig,
+    DiTConfig,
+    MeshConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+
+
+@click.command()
+@click.option("--num_epochs", type=int, default=2)
+@click.option("--batch_size", type=int, default=64,
+              help="GLOBAL batch (the reference flag is per-rank)")
+@click.option("--learning_rate", type=float, default=1e-4)
+@click.option("--max_steps", type=int, default=10000)
+@click.option("--evaluate_every", type=int, default=20)
+@click.option("--run_name", type=str, default="diffusion_repa")
+@click.option("--model_width", type=int, default=512)
+@click.option("--model_depth", type=int, default=9)
+@click.option("--model_head_dim", type=int, default=128)
+@click.option("--optimizer_type", type=str, default="mup_adam")
+@click.option("--lr_scheduler_type", type=str, default="cosine")
+@click.option("--train_bias_and_rms", type=bool, default=False)
+@click.option("--init_std_factor", type=float, default=0.1)
+@click.option("--project_name", type=str, default="test_diffusion_test")
+@click.option("--return_index", type=int, default=-8,
+              help="T5 hidden-state index")
+@click.option("--load_checkpoint", type=str, default=None)
+# --- TPU-native extras (no reference equivalent) ---
+@click.option("--dataset", type=click.Choice(["synthetic", "cosmos_openvid"]),
+              default="synthetic")
+@click.option("--mesh_replica", type=int, default=1)
+@click.option("--mesh_fsdp", type=int, default=-1)
+@click.option("--mesh_tensor", type=int, default=1)
+@click.option("--use_t5", type=bool, default=False,
+              help="encode captions with the JAX T5 (needs local weights)")
+@click.option("--seed", type=int, default=0)
+@click.option("--wandb", "use_wandb", type=bool, default=False)
+def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
+         run_name, model_width, model_depth, model_head_dim, optimizer_type,
+         lr_scheduler_type, train_bias_and_rms, init_std_factor, project_name,
+         return_index, load_checkpoint, dataset, mesh_replica, mesh_fsdp,
+         mesh_tensor, use_t5, seed, use_wandb):
+    if optimizer_type != "mup_adam":
+        raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
+
+    model = DiTConfig(
+        in_channels=16, patch_size=2, time_patch_size=2,
+        hidden_size=model_width, depth=model_depth,
+        num_heads=model_width // model_head_dim, mlp_ratio=4.0,
+        cross_attn_input_size=4096, residual_v=True,
+        train_bias_and_rms=train_bias_and_rms, use_rope=True,
+    )
+    cfg = TrainConfig(
+        model=model,
+        mesh=MeshConfig(replica=mesh_replica, fsdp=mesh_fsdp,
+                        tensor=mesh_tensor),
+        data=DataConfig(dataset=dataset),
+        optimizer=OptimizerConfig(
+            learning_rate=learning_rate, scheduler=lr_scheduler_type,
+        ),
+        num_epochs=num_epochs, batch_size=batch_size, max_steps=max_steps,
+        evaluate_every=evaluate_every, run_name=run_name,
+        project_name=project_name, seed=seed,
+        init_std_factor=init_std_factor, t5_return_index=return_index,
+        load_checkpoint=load_checkpoint, wandb=use_wandb,
+    )
+
+    prompt_encoder = None
+    if use_t5:
+        from video_diffusion_speedrun_tpu.text.encoder import load_encoder
+
+        prompt_encoder = load_encoder()
+
+    from video_diffusion_speedrun_tpu.train.loop import Trainer
+
+    Trainer(cfg, prompt_encoder=prompt_encoder).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Checkpointing: orbax sharded save/load + torch-checkpoint import.
+
+Upgrades the reference's DCP weights-only checkpoints
+(`/root/reference/train.py:553,581-584` — no optimizer/step/RNG; "resume"
+restarts the schedule, SURVEY.md §Quirks #8): orbax saves the FULL TrainState
+(params + Adam moments + step), sharded and async-capable, restoring onto an
+arbitrary mesh.
+
+`load_reference_checkpoint` cross-loads checkpoints produced by the torch
+reference (DCP dirs or consolidated .pt files) through models/convert.py, so
+a reference user can bring their runs along.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _manager(directory: str, max_to_keep: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+        ),
+    )
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: save(step, state) / restore(step, template)."""
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        self._mgr = _manager(directory, max_to_keep)
+
+    def save(self, step: int, state: Any) -> None:
+        import orbax.checkpoint as ocp
+
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore(self, step: Optional[int], template: Any) -> Any:
+        """Restore with the template's shardings (template = abstract or
+        concrete TrainState; shapes/shardings taken from it)."""
+        import orbax.checkpoint as ocp
+
+        step = self.latest_step() if step is None else step
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+            if hasattr(x, "shape") else x,
+            template,
+        )
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def load_reference_checkpoint(path: str, cfg) -> Any:
+    """Load a torch reference checkpoint (DCP dir or .pt) into our DiT param
+    tree (the `dcp_to_torch_save` + prefix-strip load path,
+    `train.py:292-320`, done offline and torch-CPU-only)."""
+    import torch
+
+    from video_diffusion_speedrun_tpu.models.convert import torch_dit_to_params
+
+    if os.path.isdir(path):
+        pt = os.path.join(path, "temp.pt")
+        if not os.path.exists(pt):
+            from torch.distributed.checkpoint.format_utils import (
+                dcp_to_torch_save,
+            )
+
+            dcp_to_torch_save(path, pt)
+        state_dict = torch.load(pt, map_location="cpu", weights_only=True)
+    else:
+        state_dict = torch.load(path, map_location="cpu", weights_only=True)
+
+    state_dict = {
+        k.replace("module.", "").replace("_orig_mod.", ""): v
+        for k, v in state_dict.items()
+    }
+    return torch_dit_to_params(state_dict, cfg)

@@ -1,0 +1,234 @@
+"""Training orchestrator — the `train_fsdp` analog (`/root/reference/
+train.py:194-591`) as a class over the jitted SPMD step.
+
+Loop semantics preserved: epoch × step loop bounded by max_steps
+(`train.py:403-410`); metrics every `log_every` steps with cross-replica
+averaging (free — the loss is a sharded mean) and per-N-step avg step time
+(`train.py:441-451`); eval + checkpoint at `step % evaluate_every == 1` with
+`eval_batches` batches and a fixed eval seed (`train.py:504-551`); working
+timestep-decile loss bins (the reference's are dead code, SURVEY.md
+§Quirks #6).
+
+TPU-first: one jit-compiled step (no torch.compile warmup), full-state orbax
+checkpoints (resume restores optimizer/schedule/step), deterministic seeded
+data order per epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_diffusion_speedrun_tpu.core.config import TrainConfig
+from video_diffusion_speedrun_tpu.data.loader import (
+    DataLoader,
+    ShardedSampler,
+    device_prefetch,
+)
+from video_diffusion_speedrun_tpu.data.synthetic import SyntheticLatentDataset
+from video_diffusion_speedrun_tpu.models.dit import param_count
+from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
+from video_diffusion_speedrun_tpu.train.checkpoint import CheckpointManager
+from video_diffusion_speedrun_tpu.train.step import build_train_step
+from video_diffusion_speedrun_tpu.utils.logging import (
+    MetricsLogger,
+    StepTimer,
+    is_main_process,
+    make_logger,
+)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, prompt_encoder=None):
+        self.cfg = cfg
+        self.logger = make_logger()
+        self.mesh = build_mesh(cfg.mesh)
+        self.prompt_encoder = prompt_encoder
+
+        (self.init_fn, self.train_step, self.eval_step, self.mup_settings
+         ) = build_train_step(cfg, self.mesh)
+
+        self.state = self.init_fn(jax.random.PRNGKey(cfg.seed))
+        n_params = param_count(self.state.params)
+        self.logger.info("param_count: %.2fM", n_params / 1e6)
+
+        ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.run_name)
+        self.ckpt = CheckpointManager(ckpt_dir)
+        if cfg.load_checkpoint is not None:
+            self._load_checkpoint(cfg.load_checkpoint)
+
+        self.metrics = MetricsLogger(
+            project=cfg.project_name, run_name=cfg.run_name,
+            config=dataclasses.asdict(cfg), out_dir=ckpt_dir,
+            use_wandb=cfg.wandb,
+        )
+
+    # ------------------------------------------------------------------ data
+
+    def _dataset(self, split: str):
+        dcfg = self.cfg.data
+        if dcfg.dataset == "synthetic":
+            rows = 4096 if split == "train" else dcfg.test_rows
+            return SyntheticLatentDataset(
+                num_rows=rows, latent_shape=dcfg.synthetic_shape,
+                seed=0 if split == "train" else 1,
+            )
+        from video_diffusion_speedrun_tpu.data.dataset import LatentDataset
+
+        return LatentDataset(split=split, cache_dir=dcfg.cache_dir,
+                             hf_name=dcfg.hf_name)
+
+    def _loader(self, split: str) -> Iterator[Dict]:
+        dcfg = self.cfg.data
+        ds = self._dataset(split)
+        per_host = self.cfg.batch_size // jax.process_count()
+        sampler = ShardedSampler(
+            len(ds), per_host, jax.process_index(), jax.process_count(),
+            seed=dcfg.shuffle_seed, shuffle=(split == "train"),
+        )
+        loader = DataLoader(
+            ds, sampler, num_workers=dcfg.num_workers, prefetch=dcfg.prefetch,
+            num_epochs=self.cfg.num_epochs if split == "train" else 1,
+        )
+        return device_prefetch(
+            self._encode_stream(iter(loader)), self.mesh,
+            depth=dcfg.prefetch,
+        )
+
+    def _encode_stream(self, batches: Iterator[Dict]) -> Iterator[Dict]:
+        """Attach `context`: precomputed > T5-encoded captions > synthetic."""
+        dcfg = self.cfg.data
+        rng = np.random.default_rng(self.cfg.seed + 17)
+        for batch in batches:
+            if "context" not in batch:
+                if self.prompt_encoder is not None:
+                    emb = self.prompt_encoder(
+                        batch["caption"], return_index=self.cfg.t5_return_index
+                    )
+                    batch["context"] = np.asarray(emb.astype(jnp.float32))
+                else:
+                    b = batch["latent"].shape[0]
+                    batch["context"] = (
+                        rng.standard_normal(
+                            (b, dcfg.caption_tokens, dcfg.context_dim)
+                        ).astype(np.float32) * 0.05
+                    )
+            yield batch
+
+    # ----------------------------------------------------------- checkpoints
+
+    def _load_checkpoint(self, path: str) -> None:
+        if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "temp.pt")
+        ) or (os.path.isdir(path) and any(
+            f.endswith(".distcp") for f in os.listdir(path)
+        )) or path.endswith(".pt"):
+            # torch reference checkpoint: weights only (`train.py:292-320`)
+            from video_diffusion_speedrun_tpu.parallel.fsdp import shard_params
+            from video_diffusion_speedrun_tpu.train.checkpoint import (
+                load_reference_checkpoint,
+            )
+
+            params = load_reference_checkpoint(path, self.cfg.model)
+            params = shard_params(params, self.mesh)
+            self.state = self.state._replace(params=params)
+            self.logger.info("loaded torch reference checkpoint from %s", path)
+        else:
+            self.state = CheckpointManager(path).restore(None, self.state)
+            self.logger.info("restored full train state from %s", path)
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, global_step: int) -> Dict[str, float]:
+        """Eval with deterministic noise (`train.py:504-551`): fixed seed,
+        `eval_batches` batches of the test split."""
+        losses = []
+        bin_sums = np.zeros(10)
+        bin_counts = np.zeros(10)
+        rng = jax.random.PRNGKey(self.cfg.seed + 1000)  # fixed eval seed
+        for idx, batch in enumerate(self._loader("test")):
+            rng, sub = jax.random.split(rng)
+            m = self.eval_step(self.state.params,
+                               {k: batch[k] for k in ("latent", "context")},
+                               sub)
+            losses.append(float(m["loss"]))
+            bin_sums += np.asarray(m["bin_sums"])
+            bin_counts += np.asarray(m["bin_counts"])
+            if idx + 1 >= self.cfg.eval_batches:
+                break
+        out = {"test/total_loss": float(np.mean(losses)),
+               "test/diffusion_loss": float(np.mean(losses))}
+        for k in range(10):
+            out[f"test_binning/{k}"] = float(
+                bin_sums[k] / max(bin_counts[k], 1)
+            )
+        return out
+
+    # ----------------------------------------------------------------- train
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        timer = StepTimer(every=cfg.log_every)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        global_step = int(self.state.step)
+        last: Dict[str, float] = {}
+        t_start = time.time()
+
+        train_iter = self._loader("train")
+        for batch in train_iter:
+            if global_step >= cfg.max_steps:
+                break
+            rng, sub = jax.random.split(rng)
+            self.state, m = self.train_step(
+                self.state, {k: batch[k] for k in ("latent", "context")}, sub
+            )
+
+            if global_step % cfg.log_every == 0:
+                avg_ms = timer.tick() if global_step else None
+                loss = float(m["loss"])
+                record = {
+                    "train/diffusion_loss": loss,
+                    "train/total_loss": loss,
+                    "train/learning_rate_scale": float(m["lr_scale"]),
+                    "train/grad_norm": float(m["grad_norm"]),
+                    "train/step": global_step,
+                }
+                bins = np.asarray(m["bin_sums"]) / np.maximum(
+                    np.asarray(m["bin_counts"]), 1)
+                for k in range(10):
+                    record[f"train_binning/{k}"] = float(bins[k])
+                if avg_ms is not None:
+                    record["train/avg_step_ms"] = avg_ms
+                self.metrics.log(record, global_step)
+                if is_main_process():
+                    self.logger.info(
+                        "step %d/%d loss %.4f%s", global_step, cfg.max_steps,
+                        loss,
+                        f" avg_step {avg_ms:.1f}ms" if avg_ms else "",
+                    )
+                last = record
+            else:
+                timer.tick()
+
+            global_step += 1
+
+            if global_step % cfg.evaluate_every == 1:
+                ev = self.evaluate(global_step)
+                self.metrics.log(ev, global_step)
+                if is_main_process():
+                    self.logger.info("eval @%d: %.4f", global_step,
+                                     ev["test/total_loss"])
+                self.ckpt.save(global_step, self.state)
+                last.update(ev)
+
+        self.ckpt.wait()
+        self.metrics.finish()
+        self.logger.info("trained %d steps in %.1fs", global_step,
+                         time.time() - t_start)
+        return last

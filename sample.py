@@ -1,0 +1,99 @@
+"""Sampling CLI — the `generate_image` pipeline (`/root/reference/sampling/
+sample.py:77-159`) as a command: checkpoint → T5 encode → jitted Euler+CFG →
+Cosmos decode → video file. The browser UI lives in
+video_diffusion_speedrun_tpu/sampling/app.py (streamlit, optional).
+
+Example:
+  python sample.py --prompt "a mountain range in fog" --checkpoint ckpts/run3 \
+      --inference_steps 50 --cfg_scale 6.0 --height 512 --width 512 --seed 42
+"""
+
+import sys
+
+import click
+
+sys.path.insert(0, ".")
+
+
+@click.command()
+@click.option("--prompt", type=str, required=True)
+@click.option("--checkpoint", type=str, default=None,
+              help="orbax dir, torch DCP dir, or .pt (reference ckpt)")
+@click.option("--inference_steps", type=int, default=50)
+@click.option("--cfg_scale", type=float, default=6.0)
+@click.option("--height", type=int, default=512)
+@click.option("--width", type=int, default=512)
+@click.option("--num_latent_frames", type=int, default=16)
+@click.option("--seed", type=int, default=42)
+@click.option("--model_width", type=int, default=2048)
+@click.option("--model_depth", type=int, default=24)
+@click.option("--model_head_dim", type=int, default=128)
+@click.option("--return_index", type=int, default=-1,
+              help="T5 hidden-state index (sampling default -1, sample.py:93)")
+@click.option("--output", type=str, default="./output")
+@click.option("--name", type=str, default="test")
+@click.option("--random_weights", is_flag=True,
+              help="skip checkpoint/T5 (smoke-test the pipeline)")
+def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
+         num_latent_frames, seed, model_width, model_depth, model_head_dim,
+         return_index, output, name, random_weights):
+    import jax
+    import jax.numpy as jnp
+
+    from video_diffusion_speedrun_tpu.core.config import (
+        DiTConfig, SamplingConfig,
+    )
+    from video_diffusion_speedrun_tpu.models.cosmos_vae import (
+        CosmosDecoderConfig, init_cosmos_decoder,
+    )
+    from video_diffusion_speedrun_tpu.models.dit import init_dit
+    from video_diffusion_speedrun_tpu.sampling.decode import (
+        save_latents_to_video,
+    )
+    from video_diffusion_speedrun_tpu.sampling.euler import generate_latents
+
+    # demo-model architecture (`sampling/sample.py:42-53`)
+    model_cfg = DiTConfig(
+        in_channels=16, patch_size=2, time_patch_size=2,
+        hidden_size=model_width, depth=model_depth,
+        num_heads=model_width // model_head_dim, mlp_ratio=4.0,
+        cross_attn_input_size=4096, residual_v=True,
+        train_bias_and_rms=False,
+    )
+    sampling = SamplingConfig(
+        inference_steps=inference_steps, cfg_scale=cfg_scale, height=height,
+        width=width, num_latent_frames=num_latent_frames, seed=seed,
+    )
+
+    if random_weights or checkpoint is None:
+        click.echo("using RANDOM weights (smoke mode)")
+        params = init_dit(jax.random.PRNGKey(0), model_cfg, 0.1)
+        context = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
+                                    jnp.bfloat16) * 0.05
+    else:
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            load_reference_checkpoint,
+        )
+        from video_diffusion_speedrun_tpu.text.encoder import load_encoder
+
+        params = load_reference_checkpoint(checkpoint, model_cfg)
+        encoder = load_encoder()
+        context = encoder([prompt], return_index=return_index)
+
+    click.echo(f"sampling {inference_steps} steps, cfg {cfg_scale} ...")
+    latents = generate_latents(params, model_cfg, context, sampling)
+    click.echo(f"latents {latents.shape}, std {float(latents.std()):.3f}")
+
+    decoder_cfg = CosmosDecoderConfig()
+    # NOTE: random decoder weights unless a converted Cosmos checkpoint is
+    # installed — see models/cosmos_vae.py docstring.
+    decoder_params = init_cosmos_decoder(jax.random.PRNGKey(2), decoder_cfg)
+    path = save_latents_to_video(
+        latents[0].astype(jnp.bfloat16), decoder_params, decoder_cfg,
+        output, name,
+    )
+    click.echo(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ import optax
 MODEL = DiTConfig(
     in_channels=16, patch_size=2, time_patch_size=2, hidden_size=512,
     depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
-    train_bias_and_rms=False, remat=False,
+    train_bias_and_rms=False, remat=True,
 )
 B, T, H, W, LC = 8, 8, 32, 32, 512
 
@@ -49,7 +49,7 @@ def main():
         p = optax.apply_updates(p, upd)
         return (p, o), loss
 
-    K = 16
+    K = 8
 
     @jax.jit
     def multi_step(p, o, rng):

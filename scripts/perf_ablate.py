@@ -78,6 +78,24 @@ def main():
         bench("fwd+bwd remat=True attn=xla",
               lambda: (jax.jit(jax.grad(loss_fn(params, cfg))), (params,)),
               f_train)
+    if "fwdxla" in which:
+        cfg = BASE.replace(attention_impl="xla")
+        bench("fwd-only attn=xla",
+              lambda: (jax.jit(loss_fn(params, cfg)), (params,)), f_fwd)
+    if "fwdnorope" in which:
+        cfg = BASE.replace(use_rope=False)
+        p2 = init_dit(jax.random.PRNGKey(0), cfg, 0.1)
+        bench("fwd-only no-rope (pallas attn)",
+              lambda: (jax.jit(loss_fn(p2, cfg)), (p2,)), f_fwd)
+    if "fwdbig" in which:
+        lat2 = jax.random.normal(jax.random.PRNGKey(1), (32, 16, T, H, W), jnp.bfloat16)
+        ctx2 = jax.random.normal(jax.random.PRNGKey(2), (32, LC, 4096), jnp.bfloat16)
+        def loss_big(pp):
+            l, _ = rectified_flow_loss(pp, BASE, lat2, ctx2, rng)
+            return l
+        bench("fwd-only B=32",
+              lambda: (jax.jit(loss_big), (params,)),
+              dit_forward_flops(BASE, 32, T, H, W, LC))
     if "opt" in which:
         tx, _, _ = build_optimizer(params, 2 ** -6, 5004,
                                    OptimizerConfig(scheduler="linear"))

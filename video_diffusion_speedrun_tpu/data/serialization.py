@@ -118,11 +118,26 @@ class _TorchFreeUnpickler(pickle.Unpickler):
         return _Storage(data, dtype)
 
 
+try:  # native C++ fast path (data/_native/fastload.cpp); built via
+    # scripts/build_native.sh — falls back to the Python parser below
+    from video_diffusion_speedrun_tpu.data._native import fastload as _fastload
+except ImportError:  # pragma: no cover - depends on build
+    _fastload = None
+
+
 def load_tensor(blob: bytes) -> np.ndarray:
     """Deserialize torch.save bytes → numpy array (bf16 via ml_dtypes).
 
     Drop-in torch-free replacement for the reference `deserialize_tensor`
-    (`sharded_dataset.py:8-13`)."""
+    (`sharded_dataset.py:8-13`). Uses the native C++ parser when built."""
+    if _fastload is not None:
+        try:
+            arr, is_bf16 = _fastload.load_tensor(blob)
+            if is_bf16:
+                arr = arr.view(ml_dtypes.bfloat16)
+            return arr
+        except ValueError:
+            pass  # not a single plain tensor; use the general path
     obj = load_object(blob)
     if not isinstance(obj, np.ndarray):
         raise ValueError(f"expected a single tensor, got {type(obj)}")

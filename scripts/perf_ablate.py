@@ -96,6 +96,33 @@ def main():
         bench("fwd-only B=32",
               lambda: (jax.jit(loss_big), (params,)),
               dit_forward_flops(BASE, 32, T, H, W, LC))
+    if "xl" in which:
+        xl = DiTConfig(
+            in_channels=16, patch_size=2, time_patch_size=2, hidden_size=1152,
+            depth=28, num_heads=9, cross_attn_input_size=4096, residual_v=True,
+            train_bias_and_rms=False,
+        )
+        pxl = init_dit(jax.random.PRNGKey(0), xl, 0.1)
+        def loss_xl(pp):
+            l, _ = rectified_flow_loss(pp, xl, lat, ctx, rng)
+            return l
+        bench("DiT-XL(1152x28) fwd+bwd remat",
+              lambda: (jax.jit(jax.grad(loss_xl)), (pxl,)),
+              dit_train_flops(xl, B, T, H, W, LC))
+    if "xl2" in which:
+        xl = DiTConfig(
+            in_channels=16, patch_size=2, time_patch_size=2, hidden_size=1152,
+            depth=28, num_heads=9, cross_attn_input_size=4096, residual_v=True,
+            train_bias_and_rms=False,
+        )
+        pxl = init_dit(jax.random.PRNGKey(0), xl, 0.1)
+        lat2 = jax.random.normal(jax.random.PRNGKey(1), (B, 16, 16, H, W), jnp.bfloat16)
+        def loss_xl2(pp):
+            l, _ = rectified_flow_loss(pp, xl, lat2, ctx, rng)
+            return l
+        bench("DiT-XL T=16 (L=2064) fwd+bwd remat",
+              lambda: (jax.jit(jax.grad(loss_xl2)), (pxl,)),
+              dit_train_flops(xl, B, 16, H, W, LC))
     if "opt" in which:
         tx, _, _ = build_optimizer(params, 2 ** -6, 5004,
                                    OptimizerConfig(scheduler="linear"))

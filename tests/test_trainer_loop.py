@@ -1,0 +1,73 @@
+"""End-to-end Trainer orchestrator test on the CPU mesh (the run_debug.sh
+integration analog, SURVEY.md §4.3, as an actual automated test)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from video_diffusion_speedrun_tpu.core.config import (
+    DataConfig,
+    DiTConfig,
+    MeshConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from video_diffusion_speedrun_tpu.train.loop import Trainer
+
+
+def _cfg(tmp_path, **kw):
+    model = DiTConfig(
+        in_channels=16, hidden_size=64, depth=2, num_heads=2,
+        cross_attn_input_size=32, residual_v=True, train_bias_and_rms=True,
+        attention_impl="xla", compute_dtype=jnp.float32,
+    )
+    defaults = dict(
+        model=model, mesh=MeshConfig(1, 8, 1),
+        data=DataConfig(dataset="synthetic", synthetic_shape=(16, 4, 16, 16),
+                        caption_tokens=6, context_dim=32, num_workers=2),
+        optimizer=OptimizerConfig(learning_rate=0.01, scheduler="linear",
+                                  warmup_steps=2),
+        num_epochs=4, batch_size=16, max_steps=12, evaluate_every=10,
+        eval_batches=2, run_name="smoke", checkpoint_dir=str(tmp_path),
+        log_every=5, seed=0,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+class TestTrainerLoop:
+    def test_trains_evals_checkpoints_and_logs(self, tmp_path):
+        trainer = Trainer(_cfg(tmp_path))
+        last = trainer.train()
+
+        assert "train/total_loss" in last
+        assert np.isfinite(last["train/total_loss"])
+        assert "test/total_loss" in last  # eval ran (step 11 % 10 == 1)
+
+        # checkpoint written at the eval step
+        ckpt_dir = tmp_path / "smoke"
+        steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+        assert steps, list(os.listdir(ckpt_dir))
+
+        # metrics.jsonl written with train + eval records
+        records = [json.loads(l) for l in open(ckpt_dir / "metrics.jsonl")]
+        keys = set().union(*(r.keys() for r in records))
+        assert "train/total_loss" in keys and "test/total_loss" in keys
+        # working timestep bins (non-zero somewhere, unlike the reference's
+        # dead binning code)
+        bin_vals = [v for r in records for k, v in r.items()
+                    if k.startswith("train_binning/")]
+        assert any(v > 0 for v in bin_vals)
+
+    def test_resume_from_full_checkpoint(self, tmp_path):
+        cfg = _cfg(tmp_path, max_steps=11, run_name="first")
+        t1 = Trainer(cfg)
+        t1.train()
+        ckpt = str(tmp_path / "first")
+
+        cfg2 = _cfg(tmp_path, max_steps=12, run_name="second",
+                    load_checkpoint=ckpt)
+        t2 = Trainer(cfg2)
+        assert int(t2.state.step) == 11  # resumed at saved step

@@ -103,12 +103,41 @@ def main():
             train_bias_and_rms=False,
         )
         pxl = init_dit(jax.random.PRNGKey(0), xl, 0.1)
+        lat4 = lat[:4]; ctx4 = ctx[:4]
         def loss_xl(pp):
+            l, _ = rectified_flow_loss(pp, xl, lat4, ctx4, rng)
+            return l
+        bench("DiT-XL(1152x28) B=4 fwd+bwd remat",
+              lambda: (jax.jit(jax.grad(loss_xl)), (pxl,)),
+              dit_train_flops(xl, 4, T, H, W, LC))
+    if "xlbf16" in which:
+        xl = DiTConfig(
+            in_channels=16, patch_size=2, time_patch_size=2, hidden_size=1152,
+            depth=28, num_heads=9, cross_attn_input_size=4096, residual_v=True,
+            train_bias_and_rms=False,
+        )
+        pxl = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           init_dit(jax.random.PRNGKey(0), xl, 0.1))
+        def loss_xlb(pp):
             l, _ = rectified_flow_loss(pp, xl, lat, ctx, rng)
             return l
-        bench("DiT-XL(1152x28) fwd+bwd remat",
-              lambda: (jax.jit(jax.grad(loss_xl)), (pxl,)),
+        bench("DiT-XL bf16-params B=8 fwd+bwd",
+              lambda: (jax.jit(jax.grad(loss_xlb)), (pxl,)),
               dit_train_flops(xl, B, T, H, W, LC))
+    if "lbf16" in which:
+        lcfg = DiTConfig(
+            in_channels=16, patch_size=2, time_patch_size=2, hidden_size=1024,
+            depth=24, num_heads=8, cross_attn_input_size=4096, residual_v=True,
+            train_bias_and_rms=False,
+        )
+        pl = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          init_dit(jax.random.PRNGKey(0), lcfg, 0.1))
+        def loss_lb(pp):
+            l, _ = rectified_flow_loss(pp, lcfg, lat, ctx, rng)
+            return l
+        bench("DiT-L bf16-params B=8 fwd+bwd",
+              lambda: (jax.jit(jax.grad(loss_lb)), (pl,)),
+              dit_train_flops(lcfg, B, T, H, W, LC))
     if "xl2" in which:
         xl = DiTConfig(
             in_channels=16, patch_size=2, time_patch_size=2, hidden_size=1152,

@@ -202,3 +202,45 @@ class TestNativeFastload:
         t_torch = timeit(
             lambda: torch.load(io.BytesIO(blob), weights_only=True))
         assert t_native < t_torch, (t_native, t_torch)
+
+
+class TestShapeBucketing:
+    def test_mixed_shapes_batch_uniform(self):
+        from video_diffusion_speedrun_tpu.data.loader import (
+            ShapeBucketingCollate,
+        )
+
+        rows_a = [{"latent": np.zeros((4, 2, 8, 8)), "caption": "a"}
+                  for _ in range(3)]
+        rows_b = [{"latent": np.zeros((4, 5, 8, 8)), "caption": "b"}
+                  for _ in range(2)]
+        coll = ShapeBucketingCollate(batch_size=3)
+        out = coll(rows_a[:2] + rows_b)   # no bucket full yet at bs=3? a=2,b=2
+        assert out is None
+        out = coll([rows_a[2]])           # a reaches 3
+        assert out is not None
+        assert out["latent"].shape == (3, 4, 2, 8, 8)
+
+    def test_loader_with_bucketing(self):
+        from video_diffusion_speedrun_tpu.data.loader import (
+            DataLoader, ShapeBucketingCollate, ShardedSampler,
+        )
+
+        class VarLenDataset:
+            def __len__(self):
+                return 32
+
+            def __getitem__(self, i):
+                t = 2 if i % 2 == 0 else 5
+                return {"latent": np.full((4, t, 8, 8), float(i), np.float32),
+                        "caption": str(i)}
+
+        ds = VarLenDataset()
+        sampler = ShardedSampler(32, 4, 0, 1, seed=0)
+        loader = DataLoader(ds, sampler, collate=ShapeBucketingCollate(4),
+                            num_epochs=1)
+        batches = list(loader)
+        assert batches, "no batches emitted"
+        for b in batches:
+            assert b["latent"].shape[0] == 4
+            assert b["latent"].shape[2] in (2, 5)

@@ -212,6 +212,11 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_every: int = 10
     wandb: bool = False
+    # dump (latent, context, timesteps) at step 0 to test_data/ — the
+    # reference's CAPTURE_INPUT fixture mechanism (`train.py:40,98-101`)
+    capture_fixtures: bool = False
+    # call jax.distributed.initialize() (multi-host pods)
+    distributed: bool = False
 
 
 @dataclass(frozen=True)

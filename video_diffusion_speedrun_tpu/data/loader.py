@@ -79,6 +79,32 @@ def default_collate(rows: Sequence[Dict]) -> Dict[str, Any]:
     return out
 
 
+class ShapeBucketingCollate:
+    """Collate for variable-length clips (17→121-frame configs).
+
+    The reference collate hard-assumes uniform latent shapes (`utils.py:22` —
+    a plain stack that crashes on mixed lengths). Here rows are bucketed by
+    latent shape; each call emits one full batch from the largest-ready
+    bucket and carries the remainder — batches stay shape-uniform, so jit
+    specializes per bucket instead of failing."""
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+        self._buckets: Dict[tuple, list] = {}
+
+    def __call__(self, rows: Sequence[Dict]) -> Optional[Dict[str, Any]]:
+        for r in rows:
+            self._buckets.setdefault(tuple(r["latent"].shape), []).append(r)
+        ready = [k for k, v in self._buckets.items()
+                 if len(v) >= self.batch_size]
+        if not ready:
+            return None
+        key = max(ready, key=lambda k: len(self._buckets[k]))
+        batch_rows = self._buckets[key][: self.batch_size]
+        self._buckets[key] = self._buckets[key][self.batch_size:]
+        return default_collate(batch_rows)
+
+
 class DataLoader:
     """Threaded look-ahead loader over (dataset, sampler)."""
 
@@ -98,6 +124,9 @@ class DataLoader:
             yield e
             e += 1
 
+    _END = object()  # end sentinel (collate may legitimately return None
+    # to mean "no full bucket yet", see ShapeBucketingCollate)
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -113,16 +142,18 @@ class DataLoader:
                                 return
                             rows = list(pool.map(self.dataset.__getitem__,
                                                  batch_idx))
-                            q.put(self.collate(rows))
+                            batch = self.collate(rows)
+                            if batch is not None:
+                                q.put(batch)
             finally:
-                q.put(None)
+                q.put(DataLoader._END)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
         try:
             while True:
                 item = q.get()
-                if item is None:
+                if item is DataLoader._END:
                     return
                 yield item
         finally:

@@ -47,6 +47,8 @@ from video_diffusion_speedrun_tpu.utils.logging import (
 class Trainer:
     def __init__(self, cfg: TrainConfig, prompt_encoder=None):
         self.cfg = cfg
+        if cfg.distributed:
+            jax.distributed.initialize()
         self.logger = make_logger()
         self.mesh = build_mesh(cfg.mesh)
         self.prompt_encoder = prompt_encoder
@@ -170,6 +172,23 @@ class Trainer:
             )
         return out
 
+    def _capture_fixtures(self, batch, rng, step) -> None:
+        """CAPTURE_INPUT analog (`train.py:98-101`): dump the step-0 inputs
+        (and the timesteps the step will draw) for cross-framework parity."""
+        import numpy as np  # noqa: F811
+
+        from video_diffusion_speedrun_tpu.train.loss import sample_timesteps
+
+        os.makedirs("test_data", exist_ok=True)
+        t_rng = jax.random.split(rng, 4)[0]
+        b = batch["latent"].shape[0]
+        ts = sample_timesteps(t_rng, b, self.cfg.time_shift_alpha)
+        np.save(f"test_data/vae_latent_{step}.npy",
+                np.asarray(batch["latent"], np.float32))
+        np.save(f"test_data/caption_encoded_{step}.npy",
+                np.asarray(batch["context"], np.float32))
+        np.save(f"test_data/timesteps_{step}.npy", np.asarray(ts))
+
     # ----------------------------------------------------------------- train
 
     def train(self) -> Dict[str, float]:
@@ -185,6 +204,8 @@ class Trainer:
             if global_step >= cfg.max_steps:
                 break
             rng, sub = jax.random.split(rng)
+            if cfg.capture_fixtures and global_step == 0 and is_main_process():
+                self._capture_fixtures(batch, sub, global_step)
             self.state, m = self.train_step(
                 self.state, {k: batch[k] for k in ("latent", "context")}, sub
             )

@@ -18,6 +18,12 @@ sys.path.insert(0, ".")
 
 def main():
     import jax
+
+    # persistent compile cache: the unrolled 24-block program is slow to
+    # compile through this image's remote-compile tunnel; cache it across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from video_diffusion_speedrun_tpu.core.config import (
@@ -33,10 +39,13 @@ def main():
     device_kind = jax.devices()[0].device_kind
 
     # canonical speedrun config (run_debug.sh): width 512, depth 24, head 128
+    # unrolled blocks + no remat measure ~1.65x faster than scan+remat on
+    # this config (scripts/perf_ablate.py); memory fits comfortably at
+    # width 512. Larger models flip remat back on.
     model = DiTConfig(
         in_channels=16, patch_size=2, time_patch_size=2, hidden_size=512,
         depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
-        train_bias_and_rms=False,
+        train_bias_and_rms=False, scan_blocks=False, remat=False,
     )
     B, C, T, H, W = 8 * n_dev, 16, 8, 32, 32  # batch 8 per chip
     LC = 512

@@ -152,6 +152,16 @@ def main():
         bench("DiT-XL T=16 (L=2064) fwd+bwd remat",
               lambda: (jax.jit(jax.grad(loss_xl2)), (pxl,)),
               dit_train_flops(xl, B, 16, H, W, LC))
+    if "unroll" in which:
+        cfg = BASE.replace(scan_blocks=False)
+        bench("fwd+bwd unrolled remat=True",
+              lambda: (jax.jit(jax.grad(loss_fn(params, cfg))), (params,)),
+              f_train)
+    if "unrollnr" in which:
+        cfg = BASE.replace(scan_blocks=False, remat=False)
+        bench("fwd+bwd unrolled remat=False",
+              lambda: (jax.jit(jax.grad(loss_fn(params, cfg))), (params,)),
+              f_train)
     if "opt" in which:
         tx, _, _ = build_optimizer(params, 2 ** -6, 5004,
                                    OptimizerConfig(scheduler="linear"))

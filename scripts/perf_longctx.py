@@ -1,0 +1,60 @@
+"""Long-context probe: fused RoPE+flash at video sequence lengths (L≈8k),
+where XLA attention would materialize L² logits. B=2, latent [16,16,64,64]
+→ L = 8·32·32 = 8192 (+16 registers)."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from video_diffusion_speedrun_tpu.core.config import DiTConfig
+from video_diffusion_speedrun_tpu.models.dit import init_dit
+from video_diffusion_speedrun_tpu.train.loss import rectified_flow_loss
+from video_diffusion_speedrun_tpu.utils.flops import (
+    dit_train_flops, peak_flops_for,
+)
+
+MODEL = DiTConfig(
+    in_channels=16, patch_size=2, time_patch_size=2, hidden_size=512,
+    depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
+    train_bias_and_rms=False, attention_impl="auto",
+)
+B, T, H, W, LC = 2, 16, 64, 64, 512
+
+
+def main():
+    params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096), jnp.bfloat16)
+    rng = jax.random.PRNGKey(3)
+
+    def loss(p):
+        l, _ = rectified_flow_loss(p, MODEL, lat, ctx, rng)
+        return l
+
+    fn = jax.jit(jax.grad(loss))
+    o = fn(params); _ = float(jax.tree.leaves(o)[0].ravel()[0])
+    print("warm ok", flush=True)
+
+    def run(n):
+        o = None
+        for _ in range(n):
+            o = fn(params)
+        return float(jax.tree.leaves(o)[0].ravel()[0])
+
+    t0 = time.perf_counter(); run(2); t2 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(8); t8 = time.perf_counter() - t0
+    dt = (t8 - t2) / 6
+    fl = dit_train_flops(MODEL, B, T, H, W, LC)
+    peak = peak_flops_for(jax.devices()[0].device_kind)
+    tokens = B * (T // 2) * (H // 2) * (W // 2)
+    print(f"long-ctx (L=8208) fwd+bwd: {dt*1000:.2f} ms/step  "
+          f"{fl/dt/1e12:.1f} TF/s ({fl/dt/peak*100:.1f}% peak)  "
+          f"{tokens/dt:.0f} tok/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

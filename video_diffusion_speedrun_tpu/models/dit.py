@@ -164,6 +164,22 @@ def _modulate(x, shift, scale):
     return x * (1 + scale[:, None, :]) + shift[:, None, :]
 
 
+def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos) -> bool:
+    """Fused RoPE+flash (BLHD) kernel dispatch: explicit "pallas", or "auto"
+    on TPU at long sequence lengths (see ops/attention.py threshold)."""
+    if cos is None:
+        return False
+    if cfg.attention_impl == "pallas":
+        return True
+    if cfg.attention_impl == "auto":
+        import jax as _jax
+
+        from video_diffusion_speedrun_tpu.ops.attention import PALLAS_MIN_SEQ
+
+        return _jax.default_backend() == "tpu" and seq_len >= PALLAS_MIN_SEQ
+    return False
+
+
 def block_forward(
     bp: Params,
     cfg: DiTConfig,
@@ -193,20 +209,29 @@ def block_forward(
     xn = rms_norm(x, bp["norm1"].get("scale"))
     xn = _modulate(xn, shift_sa, scale_sa)
     qkv = _dense(bp["qkv"], xn, cdt)  # [B, L, 3D]
-    # feature layout (k, h, d) — reference "b l (k h d)" (`model.py:126`)
-    qkv = qkv.reshape(b, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
+    # feature layout (k, h, d) — reference "b l (k h d)" (`model.py:126`);
+    # q/k/v stay in BLHD (no transposes) for the fused kernel path
+    qkv = qkv.reshape(b, l, 3, nh, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, L, H, D]
 
     if cfg.residual_v:
         lam = bp["lambda_param"].astype(cdt)
         v = jnp.where(use_v0, lam * v + (1 - lam) * v0, v)
 
-    if cos is not None:
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
+    if _use_fused_attention(cfg, l, cos):
+        from video_diffusion_speedrun_tpu.ops.fused_attention import (
+            rope_flash_attention,
+        )
 
-    attn_out = attention(q, k, v, impl=cfg.attention_impl)
-    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        attn_out = rope_flash_attention(q, k, v, cos, sin)  # [B, L, H, D]
+        attn_out = attn_out.reshape(b, l, d)
+    else:
+        qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        if cos is not None:
+            qh = apply_rotary(qh, cos, sin)
+            kh = apply_rotary(kh, cos, sin)
+        out = attention(qh, kh, vh, impl=cfg.attention_impl)
+        attn_out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     attn_out = _dense(bp["attn_proj"], attn_out, cdt)
     x = x + attn_out * gate_sa[:, None, :]
 
@@ -294,7 +319,7 @@ def dit_forward(
                    jax.nn.silu(_dense(params["time_embed"]["fc1"], t_emb, cdt)), cdt)
 
     ltot = tokens.shape[1]
-    v0_init = jnp.zeros((b, cfg.num_heads, ltot, cfg.head_dim), cdt)
+    v0_init = jnp.zeros((b, ltot, cfg.num_heads, cfg.head_dim), cdt)
 
     block_fn = block_forward
     if cfg.remat:

@@ -1,0 +1,388 @@
+"""Fused RoPE + flash attention, BLHD layout (Pallas TPU).
+
+v2 of the self-attention hot path: relative to ops/flash_attention.py this
+kernel
+  - takes q/k/v in their natural [B, L, H, D] layout (straight slices of the
+    fused qkv projection — no [B,H,L,D] transposes in or out), and
+  - applies the 3D-RoPE rotation to q/k *inside* the kernel (fp32, on data
+    already resident in VMEM), eliminating the rotated-q/k HBM round trip of
+    a separate `apply_rotary` (`models/rope.py`).
+
+The backward recomputes P from (Q, K, LSE) like the standard flash backward
+and rotates the accumulated dQ/dK back through the transpose of the rotation
+(RoPE is orthogonal: forward y = R·x with R = [[c, s], [−s, c]] per frequency
+pair — the reference convention `model.py:266-275` — so dx = Rᵀ·dy).
+
+Replaces SDPA+rope of the reference self-attention (`model.py:132-136`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
+_NEG_INF = -1e30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad_dim(x, axis, multiple):
+    size = x.shape[axis]
+    pad = _cdiv(size, multiple) * multiple - size
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _rope_rotate(x, cos, sin):
+    """y = [x1·c + x2·s, −x1·s + x2·c] (reference convention), fp32."""
+    d = x.shape[-1] // 2
+    x1, x2 = x[:, :d], x[:, d:]
+    return jnp.concatenate([x1 * cos + x2 * sin, -x1 * sin + x2 * cos], -1)
+
+
+def _rope_rotate_t(x, cos, sin):
+    """Transpose (= inverse) rotation: dy → dx."""
+    d = x.shape[-1] // 2
+    x1, x2 = x[:, :d], x[:, d:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, kv_len, block_k):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, :, 0, :].astype(jnp.float32)   # [bq, D]
+    k = k_ref[0, :, 0, :].astype(jnp.float32)   # [bk, D]
+    v = v_ref[0, :, 0, :]                        # [bk, D]
+    bq = q.shape[0]
+
+    q = _rope_rotate(q, cq_ref[:], sq_ref[:])
+    k = _rope_rotate(k, ck_ref[:], sk_ref[:])
+
+    s = jax.lax.dot_general(
+        q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    kmax = kv_len - ki * block_k
+    mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < kmax
+    s = jnp.where(mask, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[:] = jnp.broadcast_to(alpha * l_prev + jnp.sum(p, 1, keepdims=True),
+                                l_scr.shape)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        l = l_scr[:, :1]
+        o_ref[0, :, 0, :] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = (m_scr[:, :1] + jnp.log(l)).reshape(bq)
+
+
+def _forward(q, k, v, cos, sin, scale, block_q, block_k):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    block_q = min(block_q, _cdiv(lq, 128) * 128)
+    block_k = min(block_k, _cdiv(lk, 128) * 128)
+
+    qp = _pad_dim(q, 1, block_q)
+    kp = _pad_dim(k, 1, block_k)
+    vp = _pad_dim(v, 1, block_k)
+    cqp = _pad_dim(cos, 0, block_q)
+    sqp = _pad_dim(sin, 0, block_q)
+    ckp = _pad_dim(cos, 0, block_k)
+    skp = _pad_dim(sin, 0, block_k)
+    lqp, lkp = qp.shape[1], kp.shape[1]
+    nq, nk = lqp // block_q, lkp // block_k
+    dh = d // 2
+
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=lk,
+                          block_k=block_k),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d), lambda b, h, qi, ki: (b, qi, h, 0)),
+            pl.BlockSpec((1, block_k, 1, d), lambda b, h, qi, ki: (b, ki, h, 0)),
+            pl.BlockSpec((1, block_k, 1, d), lambda b, h, qi, ki: (b, ki, h, 0)),
+            pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
+            pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, 1, d), lambda b, h, qi, ki: (b, qi, h, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lqp, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, lqp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lqp * lkp * d,
+            bytes_accessed=2 * b * h * (lqp + 2 * lkp) * d,
+            transcendentals=b * h * lqp * lkp,
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, cqp, sqp, ckp, skp)
+    return o[:, :lq], lse[:, :, :, :lq]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    cq_ref, sq_ref, ck_ref, sk_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale, kv_len, block_k):
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+    ki = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = _rope_rotate(q_ref[0, :, 0, :].astype(jnp.float32), cq_ref[:], sq_ref[:])
+    k = _rope_rotate(k_ref[0, :, 0, :].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    v = v_ref[0, :, 0, :]
+    do = do_ref[0, :, 0, :]
+    bq = q.shape[0]
+    lse = lse_ref[0, 0, 0].reshape(bq, 1)
+    delta = delta_ref[0, 0, 0].reshape(bq, 1)
+
+    qc = q.astype(v.dtype)
+    kc = k.astype(v.dtype)
+    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)
+    kmax = kv_len - ki * block_k
+    mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
+    p = jnp.where(mask, p, 0.0)
+
+    pt = p.astype(do.dtype)
+    dv_scr[:] += jax.lax.dot_general(pt, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * scale).astype(do.dtype)
+    dk_scr[:] += jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        # rotate accumulated dK (in roped space) back: dk = Rᵀ·dk_roped
+        dk = _rope_rotate_t(dk_scr[:], ck_ref[:], sk_ref[:])
+        dk_ref[0, :, 0, :] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, 0, :] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   cq_ref, sq_ref, ck_ref, sk_ref,
+                   dq_ref, dq_scr,
+                   *, scale, kv_len, block_k):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = _rope_rotate(q_ref[0, :, 0, :].astype(jnp.float32), cq_ref[:], sq_ref[:])
+    k = _rope_rotate(k_ref[0, :, 0, :].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    v = v_ref[0, :, 0, :]
+    do = do_ref[0, :, 0, :]
+    bq = q.shape[0]
+    lse = lse_ref[0, 0, 0].reshape(bq, 1)
+    delta = delta_ref[0, 0, 0].reshape(bq, 1)
+
+    qc = q.astype(v.dtype)
+    kc = k.astype(v.dtype)
+    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)
+    kmax = kv_len - ki * block_k
+    mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
+    p = jnp.where(mask, p, 0.0)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * scale).astype(do.dtype)
+    dq_scr[:] += jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq = _rope_rotate_t(dq_scr[:], cq_ref[:], sq_ref[:])
+        dq_ref[0, :, 0, :] = dq.astype(dq_ref.dtype)
+
+
+def _backward(q, k, v, cos, sin, o, lse, do, scale, block_q, block_k):
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    block_q = min(block_q, _cdiv(lq, 128) * 128)
+    block_k = min(block_k, _cdiv(lk, 128) * 128)
+    dh = d // 2
+
+    delta = jnp.einsum("blhd,blhd->bhl", do.astype(jnp.float32),
+                       o.astype(jnp.float32))[:, :, None, :]
+
+    qp = _pad_dim(q, 1, block_q)
+    dop = _pad_dim(do, 1, block_q)
+    lsep = _pad_dim(lse, 3, block_q)
+    deltap = _pad_dim(delta, 3, block_q)
+    kp = _pad_dim(k, 1, block_k)
+    vp = _pad_dim(v, 1, block_k)
+    cqp = _pad_dim(cos, 0, block_q)
+    sqp = _pad_dim(sin, 0, block_q)
+    ckp = _pad_dim(cos, 0, block_k)
+    skp = _pad_dim(sin, 0, block_k)
+    lqp, lkp = qp.shape[1], kp.shape[1]
+    nq, nk = lqp // block_q, lkp // block_k
+    interpret = _interpret()
+    common = dict(scale=scale, kv_len=lk, block_k=block_k)
+
+    qspec = pl.BlockSpec((1, block_q, 1, d), lambda b, h, ki, qi: (b, qi, h, 0))
+    kspec = pl.BlockSpec((1, block_k, 1, d), lambda b, h, ki, qi: (b, ki, h, 0))
+    lspec = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ki, qi: (b, h, 0, qi))
+    cq_s = pl.BlockSpec((block_q, dh), lambda b, h, ki, qi: (qi, 0))
+    ck_s = pl.BlockSpec((block_k, dh), lambda b, h, ki, qi: (ki, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(b, h, nk, nq),
+        in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
+                  cq_s, cq_s, ck_s, ck_s],
+        out_specs=(kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lkp, h, d), k.dtype),
+            jax.ShapeDtypeStruct((b, lkp, h, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+
+    qspec2 = pl.BlockSpec((1, block_q, 1, d), lambda b, h, qi, ki: (b, qi, h, 0))
+    kspec2 = pl.BlockSpec((1, block_k, 1, d), lambda b, h, qi, ki: (b, ki, h, 0))
+    lspec2 = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi))
+    cq_s2 = pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0))
+    ck_s2 = pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(b, h, nq, nk),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2,
+                  cq_s2, cq_s2, ck_s2, ck_s2],
+        out_specs=qspec2,
+        out_shape=jax.ShapeDtypeStruct((b, lqp, h, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+
+    return dq[:, :lq], dk[:, :lk], dv[:, :lk]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _rope_flash(q, k, v, cos, sin, scale, block_q, block_k):
+    o, _ = _forward(q, k, v, cos, sin, scale, block_q, block_k)
+    return o
+
+
+def _rope_flash_fwd(q, k, v, cos, sin, scale, block_q, block_k):
+    o, lse = _forward(q, k, v, cos, sin, scale, block_q, block_k)
+    return o, (q, k, v, cos, sin, o, lse)
+
+
+def _rope_flash_bwd(scale, block_q, block_k, res, g):
+    q, k, v, cos, sin, o, lse = res
+    dq, dk, dv = _backward(q, k, v, cos, sin, o, lse, g, scale, block_q,
+                           block_k)
+    return dq, dk, dv, None, None
+
+
+_rope_flash.defvjp(_rope_flash_fwd, _rope_flash_bwd)
+
+
+def rope_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Fused RoPE+flash self-attention over [B, L, H, D] (cos/sin [L, D/2]
+    fp32; register rows use cos=1/sin=0 = identity rotation)."""
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    cos = jax.lax.stop_gradient(cos.astype(jnp.float32))
+    sin = jax.lax.stop_gradient(sin.astype(jnp.float32))
+    return _rope_flash(q, k, v, cos, sin, scale, block_q, block_k)

@@ -89,3 +89,25 @@ class TestVideoWriting:
         import os
 
         assert os.path.exists(out)
+
+
+class TestWeightIO:
+    def test_npz_roundtrip(self, tmp_path):
+        """init → flatten-to-npz (converter output format) → load → identical."""
+        import jax
+        import jax.numpy as jnp
+        from video_diffusion_speedrun_tpu.models.cosmos_vae import (
+            init_cosmos_decoder, load_decoder_params,
+        )
+
+        params = init_cosmos_decoder(jax.random.PRNGKey(3), TINY)
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        out = {}
+        for path, leaf in flat:
+            keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+            out[".".join(keys)] = np.asarray(leaf)
+        np.savez(tmp_path / "dec.npz", **out)
+
+        loaded = load_decoder_params(str(tmp_path / "dec.npz"), TINY)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

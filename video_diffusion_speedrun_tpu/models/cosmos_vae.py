@@ -282,6 +282,29 @@ def cosmos_decode(params: Dict, cfg: CosmosDecoderConfig,
     return jnp.tanh(x.astype(jnp.float32)).astype(cfg.compute_dtype)
 
 
+def load_decoder_params(npz_path: str,
+                        cfg: CosmosDecoderConfig = CosmosDecoderConfig()
+                        ) -> Dict:
+    """Load converted decoder weights (scripts/convert_cosmos.py output):
+    flat dotted-path .npz → param tree."""
+    import numpy as np
+
+    flat = dict(np.load(npz_path))
+    template = init_cosmos_decoder(jax.random.PRNGKey(0), cfg)
+
+    def rebuild(node, prefix):
+        if isinstance(node, dict):
+            return {k: rebuild(v, f"{prefix}.{k}" if prefix else k)
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [rebuild(v, f"{prefix}.{i}") for i, v in enumerate(node)]
+        if prefix not in flat:
+            raise KeyError(f"missing weight: {prefix}")
+        return jnp.asarray(flat[prefix])
+
+    return rebuild(template, "")
+
+
 def decode_video(params: Dict, cfg: CosmosDecoderConfig,
                  latent: jnp.ndarray) -> jnp.ndarray:
     """Jitted decode; accepts [16, T, h, w] or [B, 16, T, h, w]."""

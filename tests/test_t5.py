@@ -83,3 +83,31 @@ class TestT5Parity:
         out = encode(params, TINY, ids, return_index=-1)
         assert out.shape == (1, 8, TINY.d_model)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestPromptEncoder:
+    def test_encode_ids_without_tokenizer(self):
+        from video_diffusion_speedrun_tpu.text.encoder import PromptEncoder
+
+        params = init_t5(jax.random.PRNGKey(0), TINY)
+        enc = PromptEncoder(params, TINY, tokenizer=None, max_length=16)
+        ids = jnp.zeros((2, 16), jnp.int32)
+        out = enc.encode_ids(ids, return_index=-1)
+        assert out.shape == (2, 16, TINY.d_model)
+        # tokenize() must fail loudly without a tokenizer
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="tokenizer"):
+            enc.tokenize(["hello"])
+
+    def test_sharded_params_on_mesh(self):
+        from video_diffusion_speedrun_tpu.core.config import MeshConfig
+        from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
+        from video_diffusion_speedrun_tpu.text.encoder import PromptEncoder
+
+        mesh = build_mesh(MeshConfig(1, 8, 1))
+        params = init_t5(jax.random.PRNGKey(0), TINY)
+        enc = PromptEncoder(params, TINY, mesh=mesh)
+        emb = enc.params["embed"]
+        assert len(emb.sharding.device_set) == 8
+        out = enc.encode_ids(jnp.zeros((2, 8), jnp.int32))
+        assert np.isfinite(np.asarray(out)).all()

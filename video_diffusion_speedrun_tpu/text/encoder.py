@@ -38,7 +38,13 @@ MAX_SEQUENCE_LENGTH = 512  # `utils.py:42` default
 
 class PromptEncoder:
     def __init__(self, params, cfg: T5Config, tokenizer=None,
-                 max_length: int = MAX_SEQUENCE_LENGTH):
+                 max_length: int = MAX_SEQUENCE_LENGTH, mesh=None):
+        if mesh is not None:
+            # shard the frozen encoder over the fsdp axis so T5-XXL (4.7B)
+            # doesn't steal a full copy of HBM per chip (SURVEY.md §7.6)
+            from video_diffusion_speedrun_tpu.parallel.fsdp import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

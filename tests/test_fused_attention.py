@@ -15,28 +15,34 @@ from video_diffusion_speedrun_tpu.ops.fused_attention import (
 )
 
 
-def _setup(b=1, l=40, h=2, d=16, lk=None):
+H, D = 2, 16
+
+
+def _setup(b=1, l=40, h=H, d=D, lk=None):
     lk = l if lk is None else lk
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    q = jax.random.normal(ks[0], (b, l, h, d), jnp.float32)
-    k = jax.random.normal(ks[1], (b, lk, h, d), jnp.float32)
-    v = jax.random.normal(ks[2], (b, lk, h, d), jnp.float32)
+    q = jax.random.normal(ks[0], (b, l, h * d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, h * d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, h * d), jnp.float32)
     cos, sin = rope_cos_sin(d, 2, 3, 6, jnp.array([1, 2, 3]), num_registers=4)
     return q, k, v, cos, sin
 
 
-def _reference(q, k, v, cos, sin):
-    qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+def _reference(q, k, v, cos, sin, h=H):
+    b, l, hd = q.shape
+    d = hd // h
+    qh, kh, vh = (t.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
+                  for t in (q, k, v))
     qh = apply_rotary(qh, cos, sin)
     kh = apply_rotary(kh, cos, sin)
     out = dot_product_attention(qh, kh, vh)
-    return out.transpose(0, 2, 1, 3)
+    return out.transpose(0, 2, 1, 3).reshape(b, l, hd)
 
 
 class TestFusedRopeFlash:
     def test_forward_matches_reference(self):
         q, k, v, cos, sin = _setup()
-        got = rope_flash_attention(q, k, v, cos, sin, block_q=128, block_k=128)
+        got = rope_flash_attention(q, k, v, cos, sin, H, block_q=128, block_k=128)
         want = _reference(q, k, v, cos, sin)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
@@ -46,7 +52,7 @@ class TestFusedRopeFlash:
 
         def loss_fused(q, k, v):
             return jnp.sum(
-                rope_flash_attention(q, k, v, cos, sin,
+                rope_flash_attention(q, k, v, cos, sin, H,
                                      block_q=128, block_k=128) ** 2
             )
 
@@ -64,7 +70,7 @@ class TestFusedRopeFlash:
     def test_ragged_length_masking(self):
         # L=40 < block 128 exercises the padded-tail mask
         q, k, v, cos, sin = _setup(l=40)
-        got = rope_flash_attention(q, k, v, cos, sin, block_q=128, block_k=128)
+        got = rope_flash_attention(q, k, v, cos, sin, H, block_q=128, block_k=128)
         want = _reference(q, k, v, cos, sin)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)

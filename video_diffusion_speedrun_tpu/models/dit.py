@@ -210,9 +210,8 @@ def block_forward(
     xn = _modulate(xn, shift_sa, scale_sa)
     qkv = _dense(bp["qkv"], xn, cdt)  # [B, L, 3D]
     # feature layout (k, h, d) — reference "b l (k h d)" (`model.py:126`);
-    # q/k/v stay in BLHD (no transposes) for the fused kernel path
-    qkv = qkv.reshape(b, l, 3, nh, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, L, H, D]
+    # q/k/v stay flat [B, L, H·D] (zero-copy slices) for the fused kernel
+    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
 
     if cfg.residual_v:
         lam = bp["lambda_param"].astype(cdt)
@@ -223,10 +222,11 @@ def block_forward(
             rope_flash_attention,
         )
 
-        attn_out = rope_flash_attention(q, k, v, cos, sin)  # [B, L, H, D]
-        attn_out = attn_out.reshape(b, l, d)
+        attn_out = rope_flash_attention(q, k, v, cos, sin, nh)  # [B, L, H·D]
     else:
-        qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        qh, kh, vh = (
+            t.reshape(b, l, nh, hd).transpose(0, 2, 1, 3) for t in (q, k, v)
+        )
         if cos is not None:
             qh = apply_rotary(qh, cos, sin)
             kh = apply_rotary(kh, cos, sin)
@@ -319,7 +319,7 @@ def dit_forward(
                    jax.nn.silu(_dense(params["time_embed"]["fc1"], t_emb, cdt)), cdt)
 
     ltot = tokens.shape[1]
-    v0_init = jnp.zeros((b, ltot, cfg.num_heads, cfg.head_dim), cdt)
+    v0_init = jnp.zeros((b, ltot, cfg.hidden_size), cdt)
 
     block_fn = block_forward
     if cfg.remat:

@@ -2,8 +2,10 @@
 
 v2 of the self-attention hot path: relative to ops/flash_attention.py this
 kernel
-  - takes q/k/v in their natural [B, L, H, D] layout (straight slices of the
-    fused qkv projection — no [B,H,L,D] transposes in or out), and
+  - takes q/k/v in their natural flat [B, L, H·D] layout (straight slices of
+    the fused qkv projection — no [B,H,L,D] transposes in or out; each grid
+    step block-slices one head's D columns, which also satisfies the TPU
+    (8, 128) block-tiling rule where a singleton head dim would not), and
   - applies the 3D-RoPE rotation to q/k *inside* the kernel (fp32, on data
     already resident in VMEM), eliminating the rotated-q/k HBM round trip of
     a separate `apply_rotary` (`models/rope.py`).
@@ -80,9 +82,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, :, 0, :].astype(jnp.float32)   # [bq, D]
-    k = k_ref[0, :, 0, :].astype(jnp.float32)   # [bk, D]
-    v = v_ref[0, :, 0, :]                        # [bk, D]
+    q = q_ref[0].astype(jnp.float32)   # [bq, D]
+    k = k_ref[0].astype(jnp.float32)   # [bk, D]
+    v = v_ref[0]                        # [bk, D]
     bq = q.shape[0]
 
     q = _rope_rotate(q, cq_ref[:], sq_ref[:])
@@ -114,12 +116,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     @pl.when(ki == nk - 1)
     def _():
         l = l_scr[:, :1]
-        o_ref[0, :, 0, :] = (acc_scr[:] / l).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
         lse_ref[0, 0, 0] = (m_scr[:, :1] + jnp.log(l)).reshape(bq)
 
 
-def _forward(q, k, v, cos, sin, scale, block_q, block_k):
-    b, lq, h, d = q.shape
+def _forward(q, k, v, cos, sin, h, scale, block_q, block_k):
+    b, lq, hd = q.shape
+    d = hd // h
     lk = k.shape[1]
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
@@ -140,20 +143,20 @@ def _forward(q, k, v, cos, sin, scale, block_q, block_k):
                           block_k=block_k),
         grid=(b, h, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda b, h, qi, ki: (b, qi, h, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b, h, qi, ki: (b, ki, h, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b, h, qi, ki: (b, ki, h, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
+            pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
             pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
             pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
             pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
             pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, 1, d), lambda b, h, qi, ki: (b, qi, h, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
             pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, lqp, h, d), q.dtype),
+            jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
             jax.ShapeDtypeStruct((b, h, 1, lqp), jnp.float32),
         ),
         scratch_shapes=[
@@ -193,10 +196,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = _rope_rotate(q_ref[0, :, 0, :].astype(jnp.float32), cq_ref[:], sq_ref[:])
-    k = _rope_rotate(k_ref[0, :, 0, :].astype(jnp.float32), ck_ref[:], sk_ref[:])
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :]
+    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
+    k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    v = v_ref[0]
+    do = do_ref[0]
     bq = q.shape[0]
     lse = lse_ref[0, 0, 0].reshape(bq, 1)
     delta = delta_ref[0, 0, 0].reshape(bq, 1)
@@ -223,8 +226,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _():
         # rotate accumulated dK (in roped space) back: dk = Rᵀ·dk_roped
         dk = _rope_rotate_t(dk_scr[:], ck_ref[:], sk_ref[:])
-        dk_ref[0, :, 0, :] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, 0, :] = dv_scr[:].astype(dv_ref.dtype)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -238,10 +241,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = _rope_rotate(q_ref[0, :, 0, :].astype(jnp.float32), cq_ref[:], sq_ref[:])
-    k = _rope_rotate(k_ref[0, :, 0, :].astype(jnp.float32), ck_ref[:], sk_ref[:])
-    v = v_ref[0, :, 0, :]
-    do = do_ref[0, :, 0, :]
+    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
+    k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    v = v_ref[0]
+    do = do_ref[0]
     bq = q.shape[0]
     lse = lse_ref[0, 0, 0].reshape(bq, 1)
     delta = delta_ref[0, 0, 0].reshape(bq, 1)
@@ -264,18 +267,20 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     @pl.when(ki == nk - 1)
     def _():
         dq = _rope_rotate_t(dq_scr[:], cq_ref[:], sq_ref[:])
-        dq_ref[0, :, 0, :] = dq.astype(dq_ref.dtype)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _backward(q, k, v, cos, sin, o, lse, do, scale, block_q, block_k):
-    b, lq, h, d = q.shape
+def _backward(q, k, v, cos, sin, h, o, lse, do, scale, block_q, block_k):
+    b, lq, hd = q.shape
+    d = hd // h
     lk = k.shape[1]
     block_q = min(block_q, _cdiv(lq, 128) * 128)
     block_k = min(block_k, _cdiv(lk, 128) * 128)
     dh = d // 2
 
-    delta = jnp.einsum("blhd,blhd->bhl", do.astype(jnp.float32),
-                       o.astype(jnp.float32))[:, :, None, :]
+    dof = do.astype(jnp.float32).reshape(b, lq, h, d)
+    of = o.astype(jnp.float32).reshape(b, lq, h, d)
+    delta = jnp.einsum("blhd,blhd->bhl", dof, of)[:, :, None, :]
 
     qp = _pad_dim(q, 1, block_q)
     dop = _pad_dim(do, 1, block_q)
@@ -292,8 +297,8 @@ def _backward(q, k, v, cos, sin, o, lse, do, scale, block_q, block_k):
     interpret = _interpret()
     common = dict(scale=scale, kv_len=lk, block_k=block_k)
 
-    qspec = pl.BlockSpec((1, block_q, 1, d), lambda b, h, ki, qi: (b, qi, h, 0))
-    kspec = pl.BlockSpec((1, block_k, 1, d), lambda b, h, ki, qi: (b, ki, h, 0))
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, h, ki, qi: (b, qi, h))
+    kspec = pl.BlockSpec((1, block_k, d), lambda b, h, ki, qi: (b, ki, h))
     lspec = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ki, qi: (b, h, 0, qi))
     cq_s = pl.BlockSpec((block_q, dh), lambda b, h, ki, qi: (qi, 0))
     ck_s = pl.BlockSpec((block_k, dh), lambda b, h, ki, qi: (ki, 0))
@@ -305,8 +310,8 @@ def _backward(q, k, v, cos, sin, o, lse, do, scale, block_q, block_k):
                   cq_s, cq_s, ck_s, ck_s],
         out_specs=(kspec, kspec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, lkp, h, d), k.dtype),
-            jax.ShapeDtypeStruct((b, lkp, h, d), v.dtype),
+            jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, lkp, hd), v.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -319,8 +324,8 @@ def _backward(q, k, v, cos, sin, o, lse, do, scale, block_q, block_k):
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
 
-    qspec2 = pl.BlockSpec((1, block_q, 1, d), lambda b, h, qi, ki: (b, qi, h, 0))
-    kspec2 = pl.BlockSpec((1, block_k, 1, d), lambda b, h, qi, ki: (b, ki, h, 0))
+    qspec2 = pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h))
+    kspec2 = pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h))
     lspec2 = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi))
     cq_s2 = pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0))
     ck_s2 = pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0))
@@ -331,7 +336,7 @@ def _backward(q, k, v, cos, sin, o, lse, do, scale, block_q, block_k):
         in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2,
                   cq_s2, cq_s2, ck_s2, ck_s2],
         out_specs=qspec2,
-        out_shape=jax.ShapeDtypeStruct((b, lqp, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -348,20 +353,20 @@ def _backward(q, k, v, cos, sin, o, lse, do, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _rope_flash(q, k, v, cos, sin, scale, block_q, block_k):
-    o, _ = _forward(q, k, v, cos, sin, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _rope_flash(q, k, v, cos, sin, h, scale, block_q, block_k):
+    o, _ = _forward(q, k, v, cos, sin, h, scale, block_q, block_k)
     return o
 
 
-def _rope_flash_fwd(q, k, v, cos, sin, scale, block_q, block_k):
-    o, lse = _forward(q, k, v, cos, sin, scale, block_q, block_k)
+def _rope_flash_fwd(q, k, v, cos, sin, h, scale, block_q, block_k):
+    o, lse = _forward(q, k, v, cos, sin, h, scale, block_q, block_k)
     return o, (q, k, v, cos, sin, o, lse)
 
 
-def _rope_flash_bwd(scale, block_q, block_k, res, g):
+def _rope_flash_bwd(h, scale, block_q, block_k, res, g):
     q, k, v, cos, sin, o, lse = res
-    dq, dk, dv = _backward(q, k, v, cos, sin, o, lse, g, scale, block_q,
+    dq, dk, dv = _backward(q, k, v, cos, sin, h, o, lse, g, scale, block_q,
                            block_k)
     return dq, dk, dv, None, None
 
@@ -375,14 +380,17 @@ def rope_flash_attention(
     v: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
+    num_heads: int,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
-    """Fused RoPE+flash self-attention over [B, L, H, D] (cos/sin [L, D/2]
-    fp32; register rows use cos=1/sin=0 = identity rotation)."""
-    d = q.shape[-1]
+    """Fused RoPE+flash self-attention over flat [B, L, H·D] (head h lives in
+    columns [h·D, (h+1)·D)); cos/sin [L, D/2] fp32; register rows use
+    cos=1/sin=0 = identity rotation. Requires head_dim % 128 == 0 on real
+    TPUs (block-tiling rule); tests run any D in interpreter mode."""
+    d = q.shape[-1] // num_heads
     scale = d ** -0.5 if scale is None else scale
     cos = jax.lax.stop_gradient(cos.astype(jnp.float32))
     sin = jax.lax.stop_gradient(sin.astype(jnp.float32))
-    return _rope_flash(q, k, v, cos, sin, scale, block_q, block_k)
+    return _rope_flash(q, k, v, cos, sin, num_heads, scale, block_q, block_k)

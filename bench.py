@@ -77,8 +77,7 @@ def main():
     # dispatch/readback latency cancels, leaving pure per-step device time.
     def run(n_steps, state, rng):
         for _ in range(n_steps):
-            rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub)
+            state, metrics = train_step(state, batch, rng)
         return state, rng, float(metrics["loss"])
 
     state, rng, loss = run(3, state, rng)  # compile + warm (incl. readback)

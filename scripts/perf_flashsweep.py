@@ -1,0 +1,44 @@
+"""Block-size sweep for the fused rope-flash kernel."""
+import sys, time
+sys.path.insert(0, ".")
+import jax, jax.numpy as jnp
+
+B, H, L, D = 2, 4, 8192, 128
+
+def timeit(fn, *args, n=10):
+    o = fn(*args); _ = float(jax.tree.leaves(o)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(2): o = fn(*args)
+    _ = float(jax.tree.leaves(o)[0].ravel()[0]); t2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(2 + n): o = fn(*args)
+    _ = float(jax.tree.leaves(o)[0].ravel()[0]); tn = time.perf_counter() - t0
+    return (tn - t2) / n
+
+def main():
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    qf = jax.random.normal(ks[0], (B, L, H * D), jnp.bfloat16)
+    kf = jax.random.normal(ks[1], (B, L, H * D), jnp.bfloat16)
+    vf = jax.random.normal(ks[2], (B, L, H * D), jnp.bfloat16)
+    from video_diffusion_speedrun_tpu.models.rope import rope_cos_sin
+    cos, sin = rope_cos_sin(D, 8, 32, 32, jnp.zeros(3, jnp.int32), num_registers=0)
+    from video_diffusion_speedrun_tpu.ops.fused_attention import rope_flash_attention
+    fwd_flops = 4 * B * H * L * L * D
+    for bq, bk in [(1024, 1024), (512, 2048), (2048, 512), (512, 1024)]:
+        f = jax.jit(lambda q, k, v, bq=bq, bk=bk: rope_flash_attention(
+            q, k, v, cos, sin, H, block_q=bq, block_k=bk))
+        g = jax.jit(jax.grad(lambda q, k, v, bq=bq, bk=bk: jnp.sum(
+            rope_flash_attention(q, k, v, cos, sin, H, block_q=bq,
+                                 block_k=bk).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2)))
+        try:
+            dtf = timeit(f, qf, kf, vf)
+            dtg = timeit(g, qf, kf, vf)
+            print(f"bq={bq:5d} bk={bk:5d}: fwd {dtf*1000:7.2f} ms "
+                  f"({fwd_flops/dtf/1e12:5.1f} TF/s)  fwd+bwd {dtg*1000:7.2f} ms "
+                  f"({3.5*fwd_flops/dtg/1e12:5.1f} TF/s)", flush=True)
+        except Exception as e:
+            print(f"bq={bq} bk={bk}: FAILED {type(e).__name__}", flush=True)
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ MODEL = DiTConfig(
     in_channels=16, patch_size=2, time_patch_size=2, hidden_size=512,
     depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
     train_bias_and_rms=False, attention_impl="auto",
+    scan_blocks=False, remat=False,
 )
 B, T, H, W, LC = 2, 16, 64, 64, 512
 

@@ -1,0 +1,55 @@
+"""Offline T5 embedding precompute.
+
+The reference re-encodes every caption on-device every step
+(`/root/reference/train.py:77-84`) — a major step-time sink it never avoids.
+This tool encodes a dataset split once and writes sharded .npz files the
+training loader can attach as a precomputed `context` key.
+
+  python scripts/precompute_embeddings.py --split train --return_index -8 \
+      --out embeddings/train
+"""
+
+import os
+import sys
+
+import click
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+@click.command()
+@click.option("--split", type=click.Choice(["train", "test"]), default="test")
+@click.option("--return_index", type=int, default=-8)
+@click.option("--batch_size", type=int, default=64)
+@click.option("--rows_per_shard", type=int, default=8192)
+@click.option("--start", type=int, default=0)
+@click.option("--limit", type=int, default=None)
+@click.option("--out", type=str, required=True)
+@click.option("--cache_dir", type=str, default="./cache")
+def main(split, return_index, batch_size, rows_per_shard, start, limit, out,
+         cache_dir):
+    from video_diffusion_speedrun_tpu.data.dataset import LatentDataset
+    from video_diffusion_speedrun_tpu.text.encoder import (
+        load_encoder, precompute_embeddings,
+    )
+
+    ds = LatentDataset(split=split, cache_dir=cache_dir)
+    encoder = load_encoder()
+    os.makedirs(out, exist_ok=True)
+
+    end = len(ds) if limit is None else min(len(ds), start + limit)
+    for shard_lo in range(start, end, rows_per_shard):
+        shard_hi = min(shard_lo + rows_per_shard, end)
+        captions = [ds[i]["caption"] for i in range(shard_lo, shard_hi)]
+        emb = precompute_embeddings(encoder, captions,
+                                    return_index=return_index,
+                                    batch_size=batch_size)
+        path = os.path.join(out, f"shard_{shard_lo:09d}.npz")
+        np.savez_compressed(path, embeddings=emb.astype(np.float16),
+                            row_start=shard_lo)
+        click.echo(f"wrote {path} [{shard_lo}, {shard_hi})")
+
+
+if __name__ == "__main__":
+    main()

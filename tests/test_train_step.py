@@ -103,13 +103,14 @@ class TestTrainStep:
         state = init_fn(jax.random.PRNGKey(0))
 
         losses = []
-        rng = jax.random.PRNGKey(42)  # fixed rng: same t/noise each step →
-        batch = _batch(jax.random.PRNGKey(7))  # deterministic overfit target
-        for i in range(30):
+        rng = jax.random.PRNGKey(42)  # base rng; the step folds in state.step
+        batch = _batch(jax.random.PRNGKey(7))
+        for i in range(60):
             state, metrics = train_step(state, batch, rng)
             losses.append(float(metrics["loss"]))
-        # overfit a fixed (batch, noise, t): loss must drop substantially
-        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.7, losses
+        # fixed batch, fresh (t, noise) per step: loss must trend down
+        assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.1, (
+            losses[:10], losses[-10:])
 
     def test_params_actually_sharded(self):
         mesh = build_mesh(TINY.mesh)

@@ -194,7 +194,7 @@ class Trainer:
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
         timer = StepTimer(every=cfg.log_every)
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)  # folded with step in-step
         global_step = int(self.state.step)
         last: Dict[str, float] = {}
         t_start = time.time()
@@ -203,11 +203,12 @@ class Trainer:
         for batch in train_iter:
             if global_step >= cfg.max_steps:
                 break
-            rng, sub = jax.random.split(rng)
             if cfg.capture_fixtures and global_step == 0 and is_main_process():
-                self._capture_fixtures(batch, sub, global_step)
+                self._capture_fixtures(
+                    batch, jax.random.fold_in(base_rng, 0), global_step)
             self.state, m = self.train_step(
-                self.state, {k: batch[k] for k in ("latent", "context")}, sub
+                self.state, {k: batch[k] for k in ("latent", "context")},
+                base_rng,
             )
 
             if global_step % cfg.log_every == 0:

@@ -90,7 +90,10 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
             alpha=cfg.time_shift_alpha, caption_dropout=cfg.caption_dropout,
         )
 
-    def _train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+    def _train_step(state: TrainState, batch, base_rng) -> Tuple[TrainState, Dict]:
+        # per-step rng derived on-device from the step counter: deterministic,
+        # resume-exact, and no host-side key splitting in the hot loop
+        rng = jax.random.fold_in(base_rng, state.step)
         (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
             state.params, batch, rng
         )

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30  # avoid -inf arithmetic (NaN on fully-masked garbage rows)
 
@@ -48,6 +48,12 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _fit_block(length: int, block: int) -> int:
+    """128-aligned near-equal blocking that minimizes tail padding."""
+    nb = max(1, _cdiv(length, block))
+    return _cdiv(_cdiv(length, nb), 128) * 128
 
 
 # ---------------------------------------------------------------------------
@@ -105,8 +111,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 def _flash_forward(q, k, v, scale, block_q, block_k):
     bh, lq, d = q.shape
     lk = k.shape[1]
-    block_q = min(block_q, _cdiv(lq, 128) * 128 if lq < block_q else block_q)
-    block_k = min(block_k, _cdiv(lk, 128) * 128 if lk < block_k else block_k)
+    block_q = _fit_block(lq, block_q)
+    block_k = _fit_block(lk, block_k)
 
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k)
@@ -245,8 +251,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_backward(q, k, v, o, lse, do, scale, block_q, block_k):
     bh, lq, d = q.shape
     lk = k.shape[1]
-    block_q = min(block_q, _cdiv(lq, 128) * 128 if lq < block_q else block_q)
-    block_k = min(block_k, _cdiv(lk, 128) * 128 if lk < block_k else block_k)
+    block_q = _fit_block(lq, block_q)
+    block_k = _fit_block(lk, block_k)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [bh, lq]
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
@@ -49,6 +49,14 @@ def _pad_dim(x, axis, multiple):
 
 def _interpret():
     return jax.default_backend() != "tpu"
+
+
+def _fit_block(length: int, block: int) -> int:
+    """Pick the block size that minimizes tail padding: divide `length`
+    into cdiv(length, block) near-equal 128-aligned blocks (e.g. L=1040 with
+    block=1024 → two 640-blocks (pad 240) instead of two 1024s (pad 1008))."""
+    nb = max(1, _cdiv(length, block))
+    return _cdiv(_cdiv(length, nb), 128) * 128
 
 
 def _rope_rotate(x, cos, sin):
@@ -124,8 +132,8 @@ def _forward(q, k, v, cos, sin, h, scale, block_q, block_k):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
-    block_q = min(block_q, _cdiv(lq, 128) * 128)
-    block_k = min(block_k, _cdiv(lk, 128) * 128)
+    block_q = _fit_block(lq, block_q)
+    block_k = _fit_block(lk, block_k)
 
     qp = _pad_dim(q, 1, block_q)
     kp = _pad_dim(k, 1, block_k)
@@ -274,8 +282,8 @@ def _backward(q, k, v, cos, sin, h, o, lse, do, scale, block_q, block_k):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
-    block_q = min(block_q, _cdiv(lq, 128) * 128)
-    block_k = min(block_k, _cdiv(lk, 128) * 128)
+    block_q = _fit_block(lq, block_q)
+    block_k = _fit_block(lk, block_k)
     dh = d // 2
 
     dof = do.astype(jnp.float32).reshape(b, lq, h, d)

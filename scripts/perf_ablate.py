@@ -162,6 +162,18 @@ def main():
         bench("fwd+bwd unrolled remat=False",
               lambda: (jax.jit(jax.grad(loss_fn(params, cfg))), (params,)),
               f_train)
+    if "palshort" in which:
+        cfg = BASE.replace(scan_blocks=False, remat=False,
+                           attention_impl="pallas")
+        bench("fwd+bwd unrolled pallas-attn",
+              lambda: (jax.jit(jax.grad(loss_fn(params, cfg))), (params,)),
+              f_train)
+    if "xlashort" in which:
+        cfg = BASE.replace(scan_blocks=False, remat=False,
+                           attention_impl="xla")
+        bench("fwd+bwd unrolled xla-attn",
+              lambda: (jax.jit(jax.grad(loss_fn(params, cfg))), (params,)),
+              f_train)
     if "opt" in which:
         tx, _, _ = build_optimizer(params, 2 ** -6, 5004,
                                    OptimizerConfig(scheduler="linear"))

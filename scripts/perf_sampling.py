@@ -35,10 +35,9 @@ def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16):
     scfg = SamplingConfig(inference_steps=steps, cfg_scale=6.0, height=height,
                           width=width_px, num_latent_frames=frames, seed=42)
 
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16),
-        init_dit(jax.random.PRNGKey(0), model_cfg, 0.1),
-    )
+    params = jax.jit(
+        lambda k: init_dit(k, model_cfg, 0.1, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
     print(f"model: {param_count(params)/1e9:.2f}B params", flush=True)
     context = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
                                 jnp.bfloat16) * 0.05
@@ -64,13 +63,13 @@ def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16):
     dec_cfg = CosmosDecoderConfig()
     dec = init_cosmos_decoder(jax.random.PRNGKey(3), dec_cfg)
     dec = jax.tree.map(lambda x: x.astype(jnp.bfloat16), dec)
-    dfn = jax.jit(lambda lat: cosmos_decode(dec, dec_cfg, lat))
+    dfn = jax.jit(lambda d, lat: cosmos_decode(d, dec_cfg, lat))
     lat_b = latents.astype(jnp.bfloat16)
     t0 = time.perf_counter()
-    _ = float(dfn(lat_b).ravel()[0].astype(jnp.float32))
+    _ = float(dfn(dec, lat_b).ravel()[0].astype(jnp.float32))
     print(f"decode compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    _ = float(dfn(lat_b).ravel()[0].astype(jnp.float32))
+    _ = float(dfn(dec, lat_b).ravel()[0].astype(jnp.float32))
     ddt = time.perf_counter() - t0
     print(f"decode: {ddt:.2f} s → end-to-end {n_frames/(dt+ddt):.2f} frames/s",
           flush=True)

@@ -106,13 +106,18 @@ def init_block(key, cfg: DiTConfig, std_factor: float = 1.0) -> Params:
     return p
 
 
-def init_dit(key, cfg: DiTConfig, init_std_factor: float = 1.0) -> Params:
+def init_dit(key, cfg: DiTConfig, init_std_factor: float = 1.0,
+             dtype=None) -> Params:
     """Full DiT parameter tree.
 
     `init_std_factor` scales every 2-D weight at init, replicating the
     reference's post-construction `param.data.mul_(0.1)` (`train.py:246-251`;
     note its "fan_in" comment is a misnomer — the multiply is unconditional).
-    Block params are stacked along a leading depth axis for `lax.scan`.
+    Block params are stacked along a leading depth axis for `lax.scan` —
+    initialized under vmap so peak memory is the final tree size (a
+    build-then-stack would transiently double it; at multi-B-param widths
+    that alone OOMs a 16 GB chip). `dtype` casts leaves at creation (e.g.
+    bf16 inference params).
     """
     d = cfg.hidden_size
     keys = jax.random.split(key, 6 + cfg.depth)
@@ -136,11 +141,11 @@ def init_dit(key, cfg: DiTConfig, init_std_factor: float = 1.0) -> Params:
             (1, cfg.max_tokens_no_rope, d), jnp.float32
         )
 
-    blocks = [
-        init_block(keys[6 + i], cfg, std_factor=init_std_factor)
-        for i in range(cfg.depth)
-    ]
-    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    params["blocks"] = jax.vmap(
+        lambda k: init_block(k, cfg, std_factor=init_std_factor)
+    )(keys[6:])
+    if dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
     return params
 
 

@@ -19,7 +19,7 @@ def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16):
         DiTConfig, SamplingConfig,
     )
     from video_diffusion_speedrun_tpu.models.cosmos_vae import (
-        CosmosDecoderConfig, cosmos_decode, init_cosmos_decoder,
+        CosmosDecoderConfig, init_cosmos_decoder,
     )
     from video_diffusion_speedrun_tpu.models.dit import init_dit, param_count
     from video_diffusion_speedrun_tpu.sampling.euler import (
@@ -63,13 +63,19 @@ def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16):
     dec_cfg = CosmosDecoderConfig()
     dec = init_cosmos_decoder(jax.random.PRNGKey(3), dec_cfg)
     dec = jax.tree.map(lambda x: x.astype(jnp.bfloat16), dec)
-    dfn = jax.jit(lambda d, lat: cosmos_decode(d, dec_cfg, lat))
+    from video_diffusion_speedrun_tpu.models.cosmos_vae import decode_video
     lat_b = latents.astype(jnp.bfloat16)
+
+    def decode():
+        out = decode_video(dec, dec_cfg, lat_b, chunk_frames=2,
+                           context_frames=2)
+        return float(out.ravel()[0].astype(jnp.float32))
+
     t0 = time.perf_counter()
-    _ = float(dfn(dec, lat_b).ravel()[0].astype(jnp.float32))
+    _ = decode()
     print(f"decode compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    _ = float(dfn(dec, lat_b).ravel()[0].astype(jnp.float32))
+    _ = decode()
     ddt = time.perf_counter() - t0
     print(f"decode: {ddt:.2f} s → end-to-end {n_frames/(dt+ddt):.2f} frames/s",
           flush=True)

@@ -111,3 +111,39 @@ class TestWeightIO:
         loaded = load_decoder_params(str(tmp_path / "dec.npz"), TINY)
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestChunkedDecode:
+    def test_chunked_exact_without_attention(self):
+        """With a context window covering the conv receptive field and no
+        bottleneck attention, chunked decode == whole decode."""
+        import jax
+        from video_diffusion_speedrun_tpu.models.cosmos_vae import (
+            decode_video, init_cosmos_decoder,
+        )
+
+        cfg = TINY.replace(attn_bottleneck=False) if hasattr(TINY, "replace") \
+            else None
+        import dataclasses
+        cfg = dataclasses.replace(TINY, attn_bottleneck=False)
+        params = init_cosmos_decoder(jax.random.PRNGKey(0), cfg)
+        lat = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 6, 4, 4))
+        whole = decode_video(params, cfg, lat)
+        chunked = decode_video(params, cfg, lat, chunk_frames=2,
+                               context_frames=6)
+        assert chunked.shape == whole.shape == (1, 3, 21, 32, 32)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                                   atol=1e-5)
+
+    def test_chunked_shape_with_attention(self):
+        import dataclasses
+        import jax
+        from video_diffusion_speedrun_tpu.models.cosmos_vae import (
+            decode_video, init_cosmos_decoder,
+        )
+
+        params = init_cosmos_decoder(jax.random.PRNGKey(0), TINY)
+        lat = jax.random.normal(jax.random.PRNGKey(1), (16, 5, 4, 4))
+        out = decode_video(params, TINY, lat, chunk_frames=2, context_frames=1)
+        assert out.shape == (3, 17, 32, 32)
+        assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -306,10 +306,37 @@ def load_decoder_params(npz_path: str,
 
 
 def decode_video(params: Dict, cfg: CosmosDecoderConfig,
-                 latent: jnp.ndarray) -> jnp.ndarray:
-    """Jitted decode; accepts [16, T, h, w] or [B, 16, T, h, w]."""
+                 latent: jnp.ndarray,
+                 chunk_frames: int | None = None,
+                 context_frames: int = 2) -> jnp.ndarray:
+    """Jitted decode; accepts [16, T, h, w] or [B, 16, T, h, w].
+
+    `chunk_frames` enables windowed chunked temporal decoding for long /
+    high-res videos that don't fit HBM when decoded whole (e.g. 61 frames at
+    512² needs >16 GB of conv intermediates): each chunk of latent frames is
+    decoded together with `context_frames` preceding latents and only its own
+    output frames are kept. Because the decoder is causal this is exact w.r.t.
+    every convolution whose temporal receptive field fits the context window;
+    only the bottleneck temporal attention is truncated to the window."""
     squeeze = latent.ndim == 4
     if squeeze:
         latent = latent[None]
-    out = jax.jit(cosmos_decode, static_argnums=1)(params, cfg, latent)
-    return out[0] if squeeze else out
+    decode = jax.jit(cosmos_decode, static_argnums=1)
+
+    t = latent.shape[2]
+    if chunk_frames is None or t <= chunk_frames:
+        out = decode(params, cfg, latent)
+        return out[0] if squeeze else out
+
+    pieces = []
+    for a in range(0, t, chunk_frames):
+        lo = max(0, a - context_frames)
+        piece = latent[:, :, lo: a + chunk_frames]
+        out = decode(params, cfg, piece)
+        if a == 0:
+            pieces.append(out)  # first chunk: keep all (incl. frame 0)
+        else:
+            n_keep = 4 * min(chunk_frames, t - a)
+            pieces.append(out[:, :, -n_keep:])
+    video = jnp.concatenate(pieces, axis=2)
+    return video[0] if squeeze else video

@@ -60,9 +60,15 @@ def save_video(video_cthw: np.ndarray, path: str, name: str,
 
 
 def save_latents_to_video(latents, decoder_params, decoder_cfg, path: str,
-                          name: str, fps: int = 30) -> str:
-    """`save_tensor_to_mp4` analog (`decoder.py:43-53`): decode then write."""
+                          name: str, fps: int = 30,
+                          chunk_frames: Optional[int] = 4,
+                          context_frames: int = 2) -> str:
+    """`save_tensor_to_mp4` analog (`decoder.py:43-53`): decode then write.
+    Decodes in causal temporal chunks by default so long/high-res videos fit
+    HBM (see models/cosmos_vae.py:decode_video)."""
     from video_diffusion_speedrun_tpu.models.cosmos_vae import decode_video
 
-    video = decode_video(decoder_params, decoder_cfg, latents)
+    video = decode_video(decoder_params, decoder_cfg, latents,
+                         chunk_frames=chunk_frames,
+                         context_frames=context_frames)
     return save_video(np.asarray(video, np.float32), path, name, fps)

@@ -108,17 +108,22 @@ class MeshConfig:
     Axis semantics:
       replica — pure data-parallel replicas (DCN axis on multi-slice).
       fsdp    — ZeRO-3 parameter sharding (ICI axis).
+      context — sequence (context) parallelism over the spatiotemporal token
+                axis — a capability beyond the reference (SURVEY.md §2b: SP/CP
+                absent there).
       tensor  — tensor parallelism over attention heads / MLP hidden.
-    Any axis may be 1. ``replica * fsdp * tensor`` must equal device count;
-    -1 for at most one axis means "use all remaining devices".
+    Any axis may be 1. ``replica * fsdp * context * tensor`` must equal the
+    device count; -1 for at most one axis means "use all remaining devices".
     """
 
     replica: int = 1
     fsdp: int = -1
+    context: int = 1
     tensor: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        sizes = {"replica": self.replica, "fsdp": self.fsdp, "tensor": self.tensor}
+        sizes = {"replica": self.replica, "fsdp": self.fsdp,
+                 "context": self.context, "tensor": self.tensor}
         unknown = [k for k, v in sizes.items() if v == -1]
         if len(unknown) > 1:
             raise ValueError("at most one mesh axis may be -1")
@@ -133,7 +138,8 @@ class MeshConfig:
                     f"by {known}"
                 )
             sizes[unknown[0]] = n_devices // known
-        total = sizes["replica"] * sizes["fsdp"] * sizes["tensor"]
+        total = (sizes["replica"] * sizes["fsdp"] * sizes["context"]
+                 * sizes["tensor"])
         if total != n_devices:
             raise ValueError(
                 f"mesh {sizes} = {total} devices != available {n_devices}"

@@ -276,6 +276,7 @@ def dit_forward(
     *,
     rope_offsets: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    token_sharding=None,
 ) -> jnp.ndarray:
     """DiT forward (`model.py:358-402`).
 
@@ -284,6 +285,12 @@ def dit_forward(
     RoPE crop-offset augmentation: pass `rng` to draw random offsets per call
     (reference behaviour, `model.py:224-226` — active at eval/sampling too), or
     pass explicit `rope_offsets` [3] for determinism; default is zero offsets.
+
+    `token_sharding` (a NamedSharding over [B, L, D]) enables context
+    parallelism: the token axis is sharded over the mesh's `context` axis and
+    GSPMD inserts the k/v all-gathers attention needs — sequence lengths can
+    then exceed one chip's activation memory (the reference has no SP/CP at
+    all, SURVEY.md §2b).
     """
     cdt = cfg.compute_dtype
     b, c, t, h, w = x.shape
@@ -298,6 +305,8 @@ def dit_forward(
         params["register_tokens"].astype(cdt), (b, r, cfg.hidden_size)
     )
     tokens = jnp.concatenate([regs, tokens], axis=1)  # [B, R+L, D]
+    if token_sharding is not None:
+        tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
 
     if cfg.use_rope:
         if rope_offsets is None:
@@ -352,6 +361,8 @@ def dit_forward(
         for i in range(cfg.depth):
             bp = jax.tree.map(lambda p: p[i], params["blocks"])
             xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0, i > 0)
+            if token_sharding is not None:
+                xx = jax.lax.with_sharding_constraint(xx, token_sharding)
             if i == 0:
                 v0 = v
         tokens = xx

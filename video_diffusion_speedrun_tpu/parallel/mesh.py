@@ -20,8 +20,9 @@ from video_diffusion_speedrun_tpu.core.config import MeshConfig
 
 AXIS_REPLICA = "replica"
 AXIS_FSDP = "fsdp"
+AXIS_CONTEXT = "context"
 AXIS_TENSOR = "tensor"
-MESH_AXES = (AXIS_REPLICA, AXIS_FSDP, AXIS_TENSOR)
+MESH_AXES = (AXIS_REPLICA, AXIS_FSDP, AXIS_CONTEXT, AXIS_TENSOR)
 
 # Axes over which the global batch is data-parallel.
 DATA_AXES = (AXIS_REPLICA, AXIS_FSDP)
@@ -41,7 +42,7 @@ def build_mesh(
     if devices is None:
         devices = jax.devices()
     cfg = config.resolve(len(devices))
-    shape = (cfg.replica, cfg.fsdp, cfg.tensor)
+    shape = (cfg.replica, cfg.fsdp, cfg.context, cfg.tensor)
     if devices is jax.devices() or len(devices) == len(jax.devices()):
         try:
             device_array = mesh_utils.create_device_mesh(shape, devices=list(devices))
@@ -63,6 +64,13 @@ def batch_pspec() -> P:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def token_pspec() -> P:
+    """Context-parallel activation spec: [B, L, D] with tokens over the
+    `context` axis (sequence parallelism — absent from the reference,
+    SURVEY.md §2b)."""
+    return P(DATA_AXES, AXIS_CONTEXT, None)
 
 
 def local_batch_slice(mesh: Mesh, global_batch: int) -> int:

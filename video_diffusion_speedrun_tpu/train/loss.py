@@ -49,6 +49,7 @@ def rectified_flow_loss(
     caption_dropout: float = 0.01,
     timesteps: Optional[jnp.ndarray] = None,
     noise: Optional[jnp.ndarray] = None,
+    token_sharding=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (loss, aux). Pass explicit `timesteps`/`noise` for fixture-driven
     parity tests (the CAPTURE_INPUT analog, `train.py:98-101`)."""
@@ -69,7 +70,8 @@ def rectified_flow_loss(
     z_t = latent * (1 - tr) + noise * tr
     v_objective = latent - noise
 
-    out = dit_forward(params, cfg, z_t, context, timesteps, rng=rope_rng)
+    out = dit_forward(params, cfg, z_t, context, timesteps, rng=rope_rng,
+                      token_sharding=token_sharding)
 
     err = v_objective.astype(jnp.float32) - out.astype(jnp.float32)
     loss_per_sample = jnp.mean(jnp.square(err), axis=(1, 2, 3, 4))

@@ -20,7 +20,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from video_diffusion_speedrun_tpu.core.config import TrainConfig
 from video_diffusion_speedrun_tpu.models.dit import init_dit
 from video_diffusion_speedrun_tpu.parallel.fsdp import param_shardings
-from video_diffusion_speedrun_tpu.parallel.mesh import DATA_AXES
+from video_diffusion_speedrun_tpu.parallel.mesh import (
+    AXIS_CONTEXT,
+    DATA_AXES,
+    token_pspec,
+)
 from video_diffusion_speedrun_tpu.train.loss import rectified_flow_loss
 from video_diffusion_speedrun_tpu.train.optim import MupAdamWState, build_optimizer
 
@@ -84,10 +88,16 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
 
     init_fn = jax.jit(_init, out_shardings=st_shd)
 
+    tok_shd = (
+        NamedSharding(mesh, token_pspec())
+        if mesh.shape[AXIS_CONTEXT] > 1 else None
+    )
+
     def _loss_fn(params, batch, rng):
         return rectified_flow_loss(
             params, mcfg, batch["latent"], batch["context"], rng,
             alpha=cfg.time_shift_alpha, caption_dropout=cfg.caption_dropout,
+            token_sharding=tok_shd,
         )
 
     def _train_step(state: TrainState, batch, base_rng) -> Tuple[TrainState, Dict]:

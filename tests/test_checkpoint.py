@@ -26,7 +26,7 @@ TINY_MODEL = DiTConfig(
     train_bias_and_rms=True, attention_impl="xla", compute_dtype=jnp.float32,
 )
 TINY = TrainConfig(
-    model=TINY_MODEL, mesh=MeshConfig(1, 8, 1),
+    model=TINY_MODEL, mesh=MeshConfig(replica=1, fsdp=8),
     optimizer=OptimizerConfig(learning_rate=0.01, scheduler="constant",
                               warmup_steps=2),
     batch_size=8, max_steps=50, seed=0,

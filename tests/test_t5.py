@@ -104,7 +104,7 @@ class TestPromptEncoder:
         from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
         from video_diffusion_speedrun_tpu.text.encoder import PromptEncoder
 
-        mesh = build_mesh(MeshConfig(1, 8, 1))
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=8))
         params = init_t5(jax.random.PRNGKey(0), TINY)
         enc = PromptEncoder(params, TINY, mesh=mesh)
         emb = enc.params["embed"]

@@ -24,7 +24,7 @@ def _cfg(tmp_path, **kw):
         attention_impl="xla", compute_dtype=jnp.float32,
     )
     defaults = dict(
-        model=model, mesh=MeshConfig(1, 8, 1),
+        model=model, mesh=MeshConfig(replica=1, fsdp=8),
         data=DataConfig(dataset="synthetic", synthetic_shape=(16, 4, 16, 16),
                         caption_tokens=6, context_dim=32, num_workers=2),
         optimizer=OptimizerConfig(learning_rate=0.01, scheduler="linear",

@@ -52,18 +52,27 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
               default="synthetic")
 @click.option("--mesh_replica", type=int, default=1)
 @click.option("--mesh_fsdp", type=int, default=-1)
+@click.option("--mesh_context", type=int, default=1,
+              help="sequence-parallel axis size")
 @click.option("--mesh_tensor", type=int, default=1)
 @click.option("--use_t5", type=bool, default=False,
               help="encode captions with the JAX T5 (needs local weights)")
 @click.option("--seed", type=int, default=0)
 @click.option("--wandb", "use_wandb", type=bool, default=False)
+@click.option("--platform", type=str, default=None,
+              help="force a jax platform (e.g. 'cpu' for the virtual-device "
+                   "sim; this image's sitecustomize ignores JAX_PLATFORMS)")
 def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          run_name, model_width, model_depth, model_head_dim, optimizer_type,
          lr_scheduler_type, train_bias_and_rms, init_std_factor, project_name,
          return_index, load_checkpoint, dataset, mesh_replica, mesh_fsdp,
-         mesh_tensor, use_t5, seed, use_wandb):
+         mesh_context, mesh_tensor, use_t5, seed, use_wandb, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
+    if platform is not None:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     model = DiTConfig(
         in_channels=16, patch_size=2, time_patch_size=2,
@@ -75,7 +84,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
     cfg = TrainConfig(
         model=model,
         mesh=MeshConfig(replica=mesh_replica, fsdp=mesh_fsdp,
-                        tensor=mesh_tensor),
+                        context=mesh_context, tensor=mesh_tensor),
         data=DataConfig(dataset=dataset),
         optimizer=OptimizerConfig(
             learning_rate=learning_rate, scheduler=lr_scheduler_type,

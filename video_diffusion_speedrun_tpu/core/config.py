@@ -99,7 +99,7 @@ class DiTConfig:
         return dataclasses.replace(self, **kw)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, kw_only=True)
 class MeshConfig:
     """Device-mesh axes. Mirrors the reference 3-axis mesh
     (dp_replicate, dp_shard, tp) (`/root/reference/model.py:475-498`) without its

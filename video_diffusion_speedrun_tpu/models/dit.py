@@ -169,9 +169,12 @@ def _modulate(x, shift, scale):
     return x * (1 + scale[:, None, :]) + shift[:, None, :]
 
 
-def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos) -> bool:
+def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos,
+                         cp_enabled: bool = False) -> bool:
     """Fused RoPE+flash (BLHD) kernel dispatch: explicit "pallas", or "auto"
-    on TPU at long sequence lengths (see ops/attention.py threshold)."""
+    on TPU at long sequence lengths (see ops/attention.py threshold). Under
+    context parallelism the kernel runs inside shard_map with all-gathered
+    k/v (ops/fused_attention.py:cp_rope_flash_attention)."""
     if cos is None:
         return False
     if cfg.attention_impl == "pallas":
@@ -195,6 +198,7 @@ def block_forward(
     sin: Optional[jnp.ndarray],
     v0: jnp.ndarray,
     use_v0,
+    token_sharding=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One DiT block (`model.py:96-167`). Returns (x, v) where v is the
     (possibly value-residual-mixed) self-attention value tensor; the caller
@@ -222,12 +226,22 @@ def block_forward(
         lam = bp["lambda_param"].astype(cdt)
         v = jnp.where(use_v0, lam * v + (1 - lam) * v0, v)
 
-    if _use_fused_attention(cfg, l, cos):
-        from video_diffusion_speedrun_tpu.ops.fused_attention import (
-            rope_flash_attention,
-        )
+    cp_on = token_sharding is not None
+    if _use_fused_attention(cfg, l, cos, cp_enabled=cp_on):
+        if cp_on:
+            from video_diffusion_speedrun_tpu.ops.fused_attention import (
+                cp_rope_flash_attention,
+            )
 
-        attn_out = rope_flash_attention(q, k, v, cos, sin, nh)  # [B, L, H·D]
+            attn_out = cp_rope_flash_attention(
+                q, k, v, cos, sin, nh, token_sharding
+            )
+        else:
+            from video_diffusion_speedrun_tpu.ops.fused_attention import (
+                rope_flash_attention,
+            )
+
+            attn_out = rope_flash_attention(q, k, v, cos, sin, nh)  # [B,L,H·D]
     else:
         qh, kh, vh = (
             t.reshape(b, l, nh, hd).transpose(0, 2, 1, 3) for t in (q, k, v)
@@ -263,6 +277,9 @@ def block_forward(
     h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
     h = _dense(bp["mlp"]["fc2"], h, cdt)
     x = x + h * gate_mlp[:, None, :]
+
+    if token_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, token_sharding)
 
     return x, v
 
@@ -340,14 +357,15 @@ def dit_forward(
         block_fn = jax.checkpoint(
             block_forward,
             policy=jax.checkpoint_policies.nothing_saveable,
-            static_argnums=(1,),
+            static_argnums=(1, 9),  # cfg, token_sharding
         )
 
     if cfg.scan_blocks:
         def scan_body(carry, inputs):
             xx, v0 = carry
             bp, idx = inputs
-            xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0, idx > 0)
+            xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0,
+                             idx > 0, token_sharding)
             v0 = jnp.where(idx == 0, v, v0)
             return (xx, v0), None
 
@@ -360,9 +378,8 @@ def dit_forward(
         xx, v0 = tokens, v0_init
         for i in range(cfg.depth):
             bp = jax.tree.map(lambda p: p[i], params["blocks"])
-            xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0, i > 0)
-            if token_sharding is not None:
-                xx = jax.lax.with_sharding_constraint(xx, token_sharding)
+            xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0, i > 0,
+                             token_sharding)
             if i == 0:
                 v0 = v
         tokens = xx

@@ -128,7 +128,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         lse_ref[0, 0, 0] = (m_scr[:, :1] + jnp.log(l)).reshape(bq)
 
 
-def _forward(q, k, v, cos, sin, h, scale, block_q, block_k):
+def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
@@ -138,10 +138,10 @@ def _forward(q, k, v, cos, sin, h, scale, block_q, block_k):
     qp = _pad_dim(q, 1, block_q)
     kp = _pad_dim(k, 1, block_k)
     vp = _pad_dim(v, 1, block_k)
-    cqp = _pad_dim(cos, 0, block_q)
-    sqp = _pad_dim(sin, 0, block_q)
-    ckp = _pad_dim(cos, 0, block_k)
-    skp = _pad_dim(sin, 0, block_k)
+    cqp = _pad_dim(cos_q, 0, block_q)
+    sqp = _pad_dim(sin_q, 0, block_q)
+    ckp = _pad_dim(cos_k, 0, block_k)
+    skp = _pad_dim(sin_k, 0, block_k)
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
     dh = d // 2
@@ -278,7 +278,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _backward(q, k, v, cos, sin, h, o, lse, do, scale, block_q, block_k):
+def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q, block_k):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
@@ -296,10 +296,10 @@ def _backward(q, k, v, cos, sin, h, o, lse, do, scale, block_q, block_k):
     deltap = _pad_dim(delta, 3, block_q)
     kp = _pad_dim(k, 1, block_k)
     vp = _pad_dim(v, 1, block_k)
-    cqp = _pad_dim(cos, 0, block_q)
-    sqp = _pad_dim(sin, 0, block_q)
-    ckp = _pad_dim(cos, 0, block_k)
-    skp = _pad_dim(sin, 0, block_k)
+    cqp = _pad_dim(cos_q, 0, block_q)
+    sqp = _pad_dim(sin_q, 0, block_q)
+    ckp = _pad_dim(cos_k, 0, block_k)
+    skp = _pad_dim(sin_k, 0, block_k)
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
     interpret = _interpret()
@@ -361,22 +361,26 @@ def _backward(q, k, v, cos, sin, h, o, lse, do, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _rope_flash(q, k, v, cos, sin, h, scale, block_q, block_k):
-    o, _ = _forward(q, k, v, cos, sin, h, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _rope_flash(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
+                block_k):
+    o, _ = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
+                    block_k)
     return o
 
 
-def _rope_flash_fwd(q, k, v, cos, sin, h, scale, block_q, block_k):
-    o, lse = _forward(q, k, v, cos, sin, h, scale, block_q, block_k)
-    return o, (q, k, v, cos, sin, o, lse)
+def _rope_flash_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
+                    block_k):
+    o, lse = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
+                      block_k)
+    return o, (q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse)
 
 
 def _rope_flash_bwd(h, scale, block_q, block_k, res, g):
-    q, k, v, cos, sin, o, lse = res
-    dq, dk, dv = _backward(q, k, v, cos, sin, h, o, lse, g, scale, block_q,
-                           block_k)
-    return dq, dk, dv, None, None
+    q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse = res
+    dq, dk, dv = _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, g,
+                           scale, block_q, block_k)
+    return dq, dk, dv, None, None, None, None
 
 
 _rope_flash.defvjp(_rope_flash_fwd, _rope_flash_bwd)
@@ -401,4 +405,51 @@ def rope_flash_attention(
     scale = d ** -0.5 if scale is None else scale
     cos = jax.lax.stop_gradient(cos.astype(jnp.float32))
     sin = jax.lax.stop_gradient(sin.astype(jnp.float32))
-    return _rope_flash(q, k, v, cos, sin, num_heads, scale, block_q, block_k)
+    return _rope_flash(q, k, v, cos, sin, cos, sin, num_heads, scale,
+                       block_q, block_k)
+
+
+def cp_rope_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    num_heads: int,
+    token_sharding,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Context-parallel fused attention: the token axis arrives sharded over
+    the mesh's `context` axis; inside shard_map each shard all-gathers k/v
+    (backward: psum-scatter, inserted by AD) and runs the flash kernel on its
+    local query block against the full keys. The q-side rope table is the
+    local row slice; the k-side table is the full (replicated) table."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from video_diffusion_speedrun_tpu.parallel.mesh import (
+        AXIS_CONTEXT, DATA_AXES,
+    )
+
+    mesh = token_sharding.mesh
+    d = q.shape[-1] // num_heads
+    scale = d ** -0.5 if scale is None else scale
+    cos = jax.lax.stop_gradient(cos.astype(jnp.float32))
+    sin = jax.lax.stop_gradient(sin.astype(jnp.float32))
+
+    def local(q, k, v, cos_q, sin_q, cos_f, sin_f):
+        k_full = jax.lax.all_gather(k, AXIS_CONTEXT, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, AXIS_CONTEXT, axis=1, tiled=True)
+        return _rope_flash(q, k_full, v_full, cos_q, sin_q, cos_f, sin_f,
+                           num_heads, scale, block_q, block_k)
+
+    tok = P(DATA_AXES, AXIS_CONTEXT, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(tok, tok, tok, P(AXIS_CONTEXT, None), P(AXIS_CONTEXT, None),
+                  P(None, None), P(None, None)),
+        out_specs=tok,
+        check_rep=False,
+    )(q, k, v, cos, sin, cos, sin)

@@ -20,9 +20,14 @@ import jax.numpy as jnp
 
 def extract_patches(x: jnp.ndarray, pt: int, p: int) -> jnp.ndarray:
     """[B, C, T, H, W] → [B, (H/p · W/p · T/pt), C·pt·p·p] with t-fastest token
-    order and (c, kt, kh, kw) feature order."""
+    order and (c, kt, kh, kw) feature order.
+
+    Non-multiple extents are floor-cropped, matching strided-Conv3d semantics
+    (relevant for real Cosmos latents, whose frame count is 1+4k — odd — so a
+    2× time patchify drops the trailing frame)."""
     b, c, t, h, w = x.shape
     gt, gh, gw = t // pt, h // p, w // p
+    x = x[:, :, : gt * pt, : gh * p, : gw * p]
     x = x.reshape(b, c, gt, pt, gh, p, gw, p)
     # → [B, gh, gw, gt, C, pt, p, p]
     x = x.transpose(0, 4, 6, 2, 1, 3, 5, 7)

@@ -49,12 +49,19 @@ def rectified_flow_loss(
     caption_dropout: float = 0.01,
     timesteps: Optional[jnp.ndarray] = None,
     noise: Optional[jnp.ndarray] = None,
+    rope_offsets: Optional[jnp.ndarray] = None,
     token_sharding=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (loss, aux). Pass explicit `timesteps`/`noise` for fixture-driven
     parity tests (the CAPTURE_INPUT analog, `train.py:98-101`)."""
     t_rng, noise_rng, drop_rng, rope_rng = jax.random.split(rng, 4)
     b = latent.shape[0]
+    # floor-crop to patch multiples (Cosmos latents have 1+4k — odd — frames;
+    # strided patchify drops the remainder, so the target must too)
+    _, _, t_len, h_len, w_len = latent.shape
+    pt, p = cfg.time_patch_size, cfg.patch_size
+    latent = latent[:, :, : t_len // pt * pt, : h_len // p * p,
+                    : w_len // p * p]
     latent = latent.astype(cfg.compute_dtype)
 
     if timesteps is None:
@@ -62,6 +69,10 @@ def rectified_flow_loss(
     if noise is None:
         noise = jax.random.normal(noise_rng, latent.shape, cfg.compute_dtype)
 
+    if context is not None:
+        # bf16 like the reference (`train.py:84`); also prevents fp32 context
+        # from promoting the whole residual stream under mixed precision
+        context = context.astype(cfg.compute_dtype)
     if caption_dropout > 0 and context is not None:
         drop = jax.random.uniform(drop_rng, (b,)) < caption_dropout
         context = jnp.where(drop[:, None, None], 0.0, context)
@@ -70,8 +81,11 @@ def rectified_flow_loss(
     z_t = latent * (1 - tr) + noise * tr
     v_objective = latent - noise
 
-    out = dit_forward(params, cfg, z_t, context, timesteps, rng=rope_rng,
-                      token_sharding=token_sharding)
+    out = dit_forward(
+        params, cfg, z_t, context, timesteps,
+        rng=rope_rng if rope_offsets is None else None,
+        rope_offsets=rope_offsets, token_sharding=token_sharding,
+    )
 
     err = v_objective.astype(jnp.float32) - out.astype(jnp.float32)
     loss_per_sample = jnp.mean(jnp.square(err), axis=(1, 2, 3, 4))

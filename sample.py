@@ -72,11 +72,19 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
                                     jnp.bfloat16) * 0.05
     else:
         from video_diffusion_speedrun_tpu.train.checkpoint import (
+            is_orbax_checkpoint,
             load_reference_checkpoint,
+            restore_params_for_inference,
         )
         from video_diffusion_speedrun_tpu.text.encoder import load_encoder
 
-        params = load_reference_checkpoint(checkpoint, model_cfg)
+        if is_orbax_checkpoint(checkpoint):
+            from video_diffusion_speedrun_tpu.core.config import TrainConfig
+
+            params = restore_params_for_inference(
+                checkpoint, TrainConfig(model=model_cfg))
+        else:  # torch reference checkpoint (DCP dir or .pt)
+            params = load_reference_checkpoint(checkpoint, model_cfg)
         encoder = load_encoder()
         context = encoder([prompt], return_index=return_index)
 

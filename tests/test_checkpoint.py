@@ -128,3 +128,26 @@ class TestTorchImport:
                           jnp.asarray(ctx.numpy()), jnp.asarray(ts.numpy()),
                           rope_offsets=jnp.zeros(3, jnp.int32))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+class TestInferenceRestore:
+    def test_restore_params_for_inference(self, tmp_path):
+        """sample.py path: restore only params from a full-state checkpoint."""
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            is_orbax_checkpoint, restore_params_for_inference,
+        )
+
+        mesh = build_mesh(TINY.mesh)
+        init_fn, train_step, _, _ = build_train_step(TINY, mesh)
+        state = init_fn(jax.random.PRNGKey(0))
+        state, _ = train_step(state, _batch(), jax.random.PRNGKey(3))
+        mgr = CheckpointManager(str(tmp_path / "run"))
+        mgr.save(int(state.step), state)
+        mgr.wait(); mgr.close()
+
+        assert is_orbax_checkpoint(str(tmp_path / "run"))
+        assert not is_orbax_checkpoint(str(tmp_path))
+        params = restore_params_for_inference(str(tmp_path / "run"), TINY)
+        np.testing.assert_array_equal(
+            np.asarray(params["final_proj"]["weight"]),
+            np.asarray(state.params["final_proj"]["weight"]))

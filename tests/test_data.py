@@ -244,3 +244,26 @@ class TestShapeBucketing:
         for b in batches:
             assert b["latent"].shape[0] == 4
             assert b["latent"].shape[2] in (2, 5)
+
+
+class TestOddFrameLatents:
+    """Real Cosmos latents have 1+4k (odd) frames; patchify floor-crops like
+    a strided conv and the loss crops the target to match."""
+
+    def test_loss_handles_odd_t(self):
+        import jax
+        import jax.numpy as jnp
+        from video_diffusion_speedrun_tpu.core.config import DiTConfig
+        from video_diffusion_speedrun_tpu.models.dit import init_dit
+        from video_diffusion_speedrun_tpu.train.loss import rectified_flow_loss
+
+        cfg = DiTConfig(in_channels=4, hidden_size=64, depth=2, num_heads=2,
+                        cross_attn_input_size=32, residual_v=True,
+                        train_bias_and_rms=True, attention_impl="xla",
+                        compute_dtype=jnp.float32)
+        params = init_dit(jax.random.PRNGKey(0), cfg)
+        latent = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 5, 9, 9))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 32))
+        loss, _ = rectified_flow_loss(params, cfg, latent, ctx,
+                                      jax.random.PRNGKey(3))
+        assert np.isfinite(float(loss))

@@ -65,6 +65,36 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def is_orbax_checkpoint(path: str) -> bool:
+    """True for directories produced by our CheckpointManager (step subdirs
+    with orbax metadata), as opposed to torch DCP dirs / .pt files."""
+    if not os.path.isdir(path):
+        return False
+    for entry in os.listdir(path):
+        sub = os.path.join(path, entry)
+        if entry.isdigit() and os.path.isdir(sub):
+            return True
+    return False
+
+
+def restore_params_for_inference(path: str, train_cfg) -> Any:
+    """Restore only the model params from a full-TrainState orbax checkpoint
+    (for sampling: the optimizer state is not needed). `train_cfg` must
+    describe the same model/optimizer so the state template matches."""
+    import jax
+
+    from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
+    from video_diffusion_speedrun_tpu.train.step import build_train_step
+
+    mesh = build_mesh(train_cfg.mesh)
+    init_fn, *_ = build_train_step(train_cfg, mesh)
+    template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(path)
+    state = mgr.restore(None, template)
+    mgr.close()
+    return state.params
+
+
 def load_reference_checkpoint(path: str, cfg) -> Any:
     """Load a torch reference checkpoint (DCP dir or .pt) into our DiT param
     tree (the `dcp_to_torch_save` + prefix-strip load path,

@@ -174,6 +174,46 @@ def main():
         bench("fwd+bwd unrolled xla-attn",
               lambda: (jax.jit(jax.grad(loss_fn(params, cfg))), (params,)),
               f_train)
+    if "b16" in which:
+        cfg = BASE.replace(scan_blocks=False, remat=False)
+        lat16 = jax.random.normal(jax.random.PRNGKey(1), (16, 16, T, H, W), jnp.bfloat16)
+        ctx16 = jax.random.normal(jax.random.PRNGKey(2), (16, LC, 4096), jnp.bfloat16)
+        def loss16(pp):
+            l, _ = rectified_flow_loss(pp, cfg, lat16, ctx16, rng)
+            return l
+        bench("fwd+bwd unrolled B=16",
+              lambda: (jax.jit(jax.grad(loss16)), (params,)),
+              dit_train_flops(cfg, 16, T, H, W, LC))
+    if "xldots" in which:
+        xl = DiTConfig(
+            in_channels=16, patch_size=2, time_patch_size=2, hidden_size=1152,
+            depth=28, num_heads=9, cross_attn_input_size=4096, residual_v=True,
+            train_bias_and_rms=False, scan_blocks=True, remat=True,
+            remat_policy="dots",
+        )
+        pxl = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           init_dit(jax.random.PRNGKey(0), xl, 0.1))
+        def loss_xld(pp):
+            l, _ = rectified_flow_loss(pp, xl, lat, ctx, rng)
+            return l
+        bench("DiT-XL bf16 scan remat=dots B=8",
+              lambda: (jax.jit(jax.grad(loss_xld)), (pxl,)),
+              dit_train_flops(xl, B, T, H, W, LC))
+    if "xlunroll" in which:
+        xl = DiTConfig(
+            in_channels=16, patch_size=2, time_patch_size=2, hidden_size=1152,
+            depth=28, num_heads=9, cross_attn_input_size=4096, residual_v=True,
+            train_bias_and_rms=False, scan_blocks=False, remat=True,
+            remat_policy="dots",
+        )
+        pxl = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           init_dit(jax.random.PRNGKey(0), xl, 0.1))
+        def loss_xlu(pp):
+            l, _ = rectified_flow_loss(pp, xl, lat, ctx, rng)
+            return l
+        bench("DiT-XL bf16 unroll remat=dots B=8",
+              lambda: (jax.jit(jax.grad(loss_xlu)), (pxl,)),
+              dit_train_flops(xl, B, T, H, W, LC))
     if "opt" in which:
         tx, _, _ = build_optimizer(params, 2 ** -6, 5004,
                                    OptimizerConfig(scheduler="linear"))

@@ -267,3 +267,48 @@ class TestOddFrameLatents:
         loss, _ = rectified_flow_loss(params, cfg, latent, ctx,
                                       jax.random.PRNGKey(3))
         assert np.isfinite(float(loss))
+
+
+class TestLatentDatasetOffline:
+    """Exercises data/dataset.py end-to-end against an in-memory HF dataset
+    (no network): split arithmetic + torch-free deserialization."""
+
+    def _fake_hf(self, monkeypatch, total_rows=200):
+        torch = pytest.importorskip("torch")
+        import datasets as hfds
+
+        blobs, captions = [], []
+        for i in range(total_rows):
+            t = torch.full((2, 1, 2, 2), float(i), dtype=torch.bfloat16)
+            blobs.append(_torch_blob(t))
+            captions.append(f"caption {i}")
+        table = hfds.Dataset.from_dict(
+            {"serialized_latent": blobs, "caption": captions})
+
+        def fake_load_dataset(name, split=None, cache_dir=None, **kw):
+            return table
+
+        import video_diffusion_speedrun_tpu.data.dataset as ds_mod
+        monkeypatch.setattr("datasets.load_dataset", fake_load_dataset)
+        monkeypatch.setattr(ds_mod.LatentDataset, "TOTAL_ROWS", total_rows)
+        monkeypatch.setattr(ds_mod.LatentDataset, "TEST_ROWS", 4)
+        return ds_mod
+
+    def test_split_arithmetic_and_rows(self, monkeypatch):
+        ds_mod = self._fake_hf(monkeypatch, total_rows=200)
+        train = ds_mod.LatentDataset(split="train")
+        test = ds_mod.LatentDataset(split="test")
+        # first half of 200 = 100 rows; last 4 of that half are test
+        assert len(train) == 96
+        assert len(test) == 4
+        row = train[3]
+        assert row["latent"].shape == (2, 1, 2, 2)
+        assert float(row["latent"].astype(np.float32)[0, 0, 0, 0]) == 3.0
+        assert row["caption"] == "caption 3"
+        # test split starts at row 96
+        assert float(test[0]["latent"].astype(np.float32)[0, 0, 0, 0]) == 96.0
+
+    def test_bad_split_raises(self, monkeypatch):
+        ds_mod = self._fake_hf(monkeypatch)
+        with pytest.raises(ValueError, match="unknown split"):
+            ds_mod.LatentDataset(split="validation")

@@ -63,6 +63,9 @@ class DiTConfig:
     attention_impl: str = "auto"  # auto | pallas | xla
     scan_blocks: bool = True
     remat: bool = True
+    # remat policy: "nothing" (recompute all) | "dots" (save matmul outputs —
+    # cheaper backward, more activation memory)
+    remat_policy: str = "nothing"
 
     def __post_init__(self):
         if self.hidden_size % self.num_heads != 0:

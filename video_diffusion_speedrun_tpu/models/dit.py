@@ -354,9 +354,13 @@ def dit_forward(
 
     block_fn = block_forward
     if cfg.remat:
+        policy = {
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+            "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }[cfg.remat_policy]
         block_fn = jax.checkpoint(
             block_forward,
-            policy=jax.checkpoint_policies.nothing_saveable,
+            policy=policy,
             static_argnums=(1, 9),  # cfg, token_sharding
         )
 

@@ -35,6 +35,7 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 @click.option("--learning_rate", type=float, default=1e-4)
 @click.option("--max_steps", type=int, default=10000)
 @click.option("--evaluate_every", type=int, default=20)
+@click.option("--log_every", type=int, default=10)
 @click.option("--run_name", type=str, default="diffusion_repa")
 @click.option("--model_width", type=int, default=512)
 @click.option("--model_depth", type=int, default=9)
@@ -59,14 +60,20 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
               help="encode captions with the JAX T5 (needs local weights)")
 @click.option("--seed", type=int, default=0)
 @click.option("--wandb", "use_wandb", type=bool, default=False)
+@click.option("--scan_blocks", type=bool, default=True,
+              help="lax.scan over blocks (False=unrolled: ~1.5x faster, "
+                   "slower compile, more memory)")
+@click.option("--remat", type=bool, default=True,
+              help="gradient checkpointing (False at small scale is faster)")
 @click.option("--platform", type=str, default=None,
               help="force a jax platform (e.g. 'cpu' for the virtual-device "
                    "sim; this image's sitecustomize ignores JAX_PLATFORMS)")
 def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
-         run_name, model_width, model_depth, model_head_dim, optimizer_type,
+         log_every, run_name, model_width, model_depth, model_head_dim, optimizer_type,
          lr_scheduler_type, train_bias_and_rms, init_std_factor, project_name,
          return_index, load_checkpoint, dataset, mesh_replica, mesh_fsdp,
-         mesh_context, mesh_tensor, use_t5, seed, use_wandb, platform):
+         mesh_context, mesh_tensor, use_t5, seed, use_wandb, scan_blocks,
+         remat, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
@@ -94,6 +101,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
         project_name=project_name, seed=seed,
         init_std_factor=init_std_factor, t5_return_index=return_index,
         load_checkpoint=load_checkpoint, wandb=use_wandb,
+        log_every=log_every,
     )
 
     prompt_encoder = None

@@ -74,6 +74,15 @@ class Trainer:
     # ------------------------------------------------------------------ data
 
     def _dataset(self, split: str):
+        if not hasattr(self, "_dataset_cache"):
+            self._dataset_cache = {}
+        if split in self._dataset_cache:
+            return self._dataset_cache[split]
+        ds = self._build_dataset(split)
+        self._dataset_cache[split] = ds
+        return ds
+
+    def _build_dataset(self, split: str):
         dcfg = self.cfg.data
         if dcfg.dataset == "synthetic":
             rows = 4096 if split == "train" else dcfg.test_rows

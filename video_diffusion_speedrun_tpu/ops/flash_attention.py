@@ -81,9 +81,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, bk]
 
-    kmax = kv_len - ki * block_k
-    mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < kmax
-    s = jnp.where(mask, s, _NEG_INF)
+    if kv_len % block_k != 0:  # static: mask only ragged tails
+        kmax = kv_len - ki * block_k
+        mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < kmax
+        s = jnp.where(mask, s, _NEG_INF)
 
     m_prev = m_scr[:, :1]                      # [bq, 1]
     l_prev = l_scr[:, :1]                      # [bq, 1]
@@ -187,9 +188,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                   # [bq, bk]
     p = jnp.exp(s - lse)
-    kmax = kv_len - ki * block_k
-    mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
-    p = jnp.where(mask, p, 0.0)
+    if kv_len % block_k != 0:  # static: mask only ragged tails
+        kmax = kv_len - ki * block_k
+        mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
+        p = jnp.where(mask, p, 0.0)
 
     pt = p.astype(do.dtype)
     dv_scr[:] += jax.lax.dot_general(            # Pᵀ dO → [bk, D]
@@ -231,9 +233,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     p = jnp.exp(s - lse)
-    kmax = kv_len - ki * block_k
-    mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
-    p = jnp.where(mask, p, 0.0)
+    if kv_len % block_k != 0:  # static: mask only ragged tails
+        kmax = kv_len - ki * block_k
+        mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
+        p = jnp.where(mask, p, 0.0)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32

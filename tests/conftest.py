@@ -25,4 +25,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# the suite is compile-dominated; persist compiled programs across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert len(jax.devices()) >= 8, "CPU device-count flag did not take effect"

@@ -180,11 +180,9 @@ def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos,
     if cfg.attention_impl == "pallas":
         return True
     if cfg.attention_impl == "auto":
-        import jax as _jax
-
         from video_diffusion_speedrun_tpu.ops.attention import PALLAS_MIN_SEQ
 
-        return _jax.default_backend() == "tpu" and seq_len >= PALLAS_MIN_SEQ
+        return jax.default_backend() == "tpu" and seq_len >= PALLAS_MIN_SEQ
     return False
 
 

@@ -27,33 +27,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from video_diffusion_speedrun_tpu.ops.pallas_utils import (
+    cdiv as _cdiv,
+    fit_block as _fit_block,
+    interpret_mode as _interpret,
+    pad_dim as _pad_dim,
+)
+
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30  # avoid -inf arithmetic (NaN on fully-masked garbage rows)
 
 
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
-def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
-    size = x.shape[axis]
-    pad = _cdiv(size, multiple) * multiple - size
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
-def _fit_block(length: int, block: int) -> int:
-    """128-aligned near-equal blocking that minimizes tail padding."""
-    nb = max(1, _cdiv(length, block))
-    return _cdiv(_cdiv(length, nb), 128) * 128
 
 
 # ---------------------------------------------------------------------------
@@ -115,9 +106,9 @@ def _flash_forward(q, k, v, scale, block_q, block_k):
     block_q = _fit_block(lq, block_q)
     block_k = _fit_block(lk, block_k)
 
-    qp = _pad_to(q, 1, block_q)
-    kp = _pad_to(k, 1, block_k)
-    vp = _pad_to(v, 1, block_k)
+    qp = _pad_dim(q, 1, block_q)
+    kp = _pad_dim(k, 1, block_k)
+    vp = _pad_dim(v, 1, block_k)
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
 
@@ -259,12 +250,12 @@ def _flash_backward(q, k, v, o, lse, do, scale, block_q, block_k):
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [bh, lq]
 
-    qp = _pad_to(q, 1, block_q)
-    dop = _pad_to(do, 1, block_q)
-    lsep = _pad_to(lse[:, None, :], 2, block_q)
-    deltap = _pad_to(delta[:, None, :], 2, block_q)
-    kp = _pad_to(k, 1, block_k)
-    vp = _pad_to(v, 1, block_k)
+    qp = _pad_dim(q, 1, block_q)
+    dop = _pad_dim(do, 1, block_q)
+    lsep = _pad_dim(lse[:, None, :], 2, block_q)
+    deltap = _pad_dim(delta[:, None, :], 2, block_q)
+    kp = _pad_dim(k, 1, block_k)
+    vp = _pad_dim(v, 1, block_k)
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
 

@@ -28,35 +28,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from video_diffusion_speedrun_tpu.ops.pallas_utils import (
+    cdiv as _cdiv,
+    fit_block as _fit_block,
+    interpret_mode as _interpret,
+    pad_dim as _pad_dim,
+)
+
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
 
-def _cdiv(a, b):
-    return -(-a // b)
 
 
-def _pad_dim(x, axis, multiple):
-    size = x.shape[axis]
-    pad = _cdiv(size, multiple) * multiple - size
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
 
 
-def _interpret():
-    return jax.default_backend() != "tpu"
 
 
-def _fit_block(length: int, block: int) -> int:
-    """Pick the block size that minimizes tail padding: divide `length`
-    into cdiv(length, block) near-equal 128-aligned blocks (e.g. L=1040 with
-    block=1024 → two 640-blocks (pad 240) instead of two 1024s (pad 1008))."""
-    nb = max(1, _cdiv(length, block))
-    return _cdiv(_cdiv(length, nb), 128) * 128
 
 
 def _rope_rotate(x, cos, sin):

@@ -1,0 +1,34 @@
+"""Shared helpers for the Pallas attention kernels."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pad_dim(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    """Zero-pad `axis` up to the next multiple."""
+    size = x.shape[axis]
+    pad = cdiv(size, multiple) * multiple - size
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def fit_block(length: int, block: int) -> int:
+    """128-aligned near-equal blocking that minimizes tail padding (e.g.
+    L=1040 with block=1024 → two 640-blocks (pad 240) instead of two 1024s
+    (pad 1008))."""
+    nb = max(1, cdiv(length, block))
+    return cdiv(cdiv(length, nb), 128) * 128
+
+
+def interpret_mode() -> bool:
+    """Run kernels in the Pallas interpreter off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"

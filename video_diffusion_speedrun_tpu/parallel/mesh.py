@@ -43,12 +43,10 @@ def build_mesh(
         devices = jax.devices()
     cfg = config.resolve(len(devices))
     shape = (cfg.replica, cfg.fsdp, cfg.context, cfg.tensor)
-    if devices is jax.devices() or len(devices) == len(jax.devices()):
-        try:
-            device_array = mesh_utils.create_device_mesh(shape, devices=list(devices))
-        except (ValueError, AssertionError):
-            device_array = np.asarray(list(devices)).reshape(shape)
-    else:
+    try:
+        # ICI-topology-aware placement when possible
+        device_array = mesh_utils.create_device_mesh(shape, devices=list(devices))
+    except (ValueError, AssertionError):
         device_array = np.asarray(list(devices)).reshape(shape)
     return Mesh(device_array, MESH_AXES)
 

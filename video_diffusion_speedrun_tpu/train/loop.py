@@ -184,8 +184,6 @@ class Trainer:
     def _capture_fixtures(self, batch, rng, step) -> None:
         """CAPTURE_INPUT analog (`train.py:98-101`): dump the step-0 inputs
         (and the timesteps the step will draw) for cross-framework parity."""
-        import numpy as np  # noqa: F811
-
         from video_diffusion_speedrun_tpu.train.loss import sample_timesteps
 
         os.makedirs("test_data", exist_ok=True)

@@ -77,7 +77,6 @@ def mup_table(
     (`model.py:457-461`): name → {lr, wd, shape} for logging/tests.
     """
     cfg = cfg or OptimizerConfig()
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
     settings: Dict[str, Dict] = {}
 
     def rule_for(path, leaf):
@@ -92,11 +91,9 @@ def mup_table(
         settings[name] = {"lr": lr, "wd": wd, "shape": tuple(leaf.shape)}
         return lr, wd
 
-    pairs = {jax.tree_util.keystr(p): rule_for(p, l) for p, l in flat}
-    lr_tree = jax.tree_util.tree_map_with_path(
-        lambda p, l: pairs[jax.tree_util.keystr(p)][0], params
-    )
-    wd_tree = jax.tree_util.tree_map_with_path(
-        lambda p, l: pairs[jax.tree_util.keystr(p)][1], params
-    )
+    pair_tree = jax.tree_util.tree_map_with_path(rule_for, params)
+    lr_tree = jax.tree.map(lambda pair: pair[0], pair_tree,
+                           is_leaf=lambda x: isinstance(x, tuple))
+    wd_tree = jax.tree.map(lambda pair: pair[1], pair_tree,
+                           is_leaf=lambda x: isinstance(x, tuple))
     return lr_tree, wd_tree, settings

@@ -205,6 +205,9 @@ class TrainConfig:
 
     num_epochs: int = 2
     batch_size: int = 64  # global batch (reference batch_size is per-rank)
+    # microbatching: split each batch into N sequential grad-accumulation
+    # steps (beyond the reference — lets big models train at small memory)
+    grad_accum: int = 1
     max_steps: int = 10_000
     evaluate_every: int = 20
     eval_batches: int = 9  # reference breaks at batch_idx == 8 (`train.py:542`)

@@ -100,13 +100,51 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
             token_sharding=tok_shd,
         )
 
+    def _grads(params, batch, rng):
+        """Loss + grads, optionally accumulated over microbatches
+        (cfg.grad_accum > 1: batch reshaped to [accum, micro, ...] and
+        scanned — activation memory scales with the microbatch)."""
+        if cfg.grad_accum <= 1:
+            return jax.value_and_grad(_loss_fn, has_aux=True)(params, batch, rng)
+
+        a = cfg.grad_accum
+        micro = jax.tree.map(
+            lambda x: x.reshape(a, x.shape[0] // a, *x.shape[1:]), batch
+        )
+        rngs = jax.random.split(rng, a)
+
+        def body(carry, mb_rng):
+            loss_sum, aux_sum, grad_sum = carry
+            mb, r = mb_rng
+            (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+                params, mb, r
+            )
+            return (
+                loss_sum + loss,
+                jax.tree.map(jnp.add, aux_sum, aux),
+                jax.tree.map(jnp.add, grad_sum, grads),
+            ), None
+
+        zero_aux = jax.tree.map(
+            jnp.zeros_like,
+            jax.eval_shape(lambda: _loss_fn(
+                params, jax.tree.map(lambda x: x[0], micro), rngs[0])[1]),
+        )
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        (loss_sum, aux_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zero_aux, zero_grads), (micro, rngs)
+        )
+        inv = 1.0 / a
+        aux_mean = dict(aux_sum)
+        # sums (bin counts/sums, per-sample) stay sums; scalar means rescale
+        grads = jax.tree.map(lambda g: g * inv, grad_sum)
+        return (loss_sum * inv, aux_mean), grads
+
     def _train_step(state: TrainState, batch, base_rng) -> Tuple[TrainState, Dict]:
         # per-step rng derived on-device from the step counter: deterministic,
         # resume-exact, and no host-side key splitting in the hot loop
         rng = jax.random.fold_in(base_rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        (loss, aux), grads = _grads(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)

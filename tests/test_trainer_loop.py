@@ -71,3 +71,20 @@ class TestTrainerLoop:
                     load_checkpoint=ckpt)
         t2 = Trainer(cfg2)
         assert int(t2.state.step) == 11  # resumed at saved step
+
+
+class TestVariableLengthTraining:
+    def test_mixed_clip_lengths_train(self, tmp_path):
+        """BASELINE configs[2]: variable-length clips via shape bucketing —
+        each batch is shape-uniform; jit specializes per bucket."""
+        cfg = _cfg(
+            tmp_path, max_steps=6, evaluate_every=100, run_name="varlen",
+            data=DataConfig(
+                dataset="synthetic", synthetic_shape=(16, 4, 16, 16),
+                synthetic_t_choices=(2, 4), bucket_by_shape=True,
+                caption_tokens=6, context_dim=32, num_workers=2,
+            ),
+        )
+        trainer = Trainer(cfg)
+        last = trainer.train()
+        assert np.isfinite(last["train/total_loss"])

@@ -167,6 +167,12 @@ class DataConfig:
     # Synthetic-latent shape [C, T, H, W] (Cosmos CV4x8x8 latents of 17-frame
     # 256px clips are [16, 5, 32, 32]).
     synthetic_shape: tuple = (16, 5, 32, 32)
+    # variable-length clips: extra T values mixed into the synthetic stream
+    # (e.g. (5, 9, 17) ≈ 17/33/65-frame clips); requires bucket_by_shape
+    synthetic_t_choices: tuple = ()
+    # group rows by latent shape so mixed-length clips form uniform batches
+    # (the reference collate crashes on mixed shapes, `utils.py:22`)
+    bucket_by_shape: bool = False
     caption_tokens: int = 512
     context_dim: int = 4096
 

@@ -25,11 +25,14 @@ class SyntheticLatentDataset:
 
     def __init__(self, num_rows: int = 1024,
                  latent_shape: Tuple[int, int, int, int] = (16, 5, 32, 32),
-                 seed: int = 0, dtype=np.float32):
+                 seed: int = 0, dtype=np.float32,
+                 t_choices: Tuple[int, ...] = ()):
         self.num_rows = num_rows
         self.latent_shape = latent_shape
         self.seed = seed
         self.dtype = dtype
+        # variable-length mode: per-row frame count drawn from t_choices
+        self.t_choices = tuple(t_choices)
 
     def __len__(self) -> int:
         return self.num_rows
@@ -38,7 +41,11 @@ class SyntheticLatentDataset:
         if not 0 <= idx < self.num_rows:
             raise IndexError(idx)
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
-        latent = rng.standard_normal(self.latent_shape).astype(self.dtype)
+        shape = self.latent_shape
+        if self.t_choices:
+            c, _, h, w = shape
+            shape = (c, self.t_choices[idx % len(self.t_choices)], h, w)
+        latent = rng.standard_normal(shape).astype(self.dtype)
         caption = _CAPTION_VOCAB[idx % len(_CAPTION_VOCAB)]
         return {"latent": latent, "caption": caption}
 

@@ -28,7 +28,9 @@ import numpy as np
 from video_diffusion_speedrun_tpu.core.config import TrainConfig
 from video_diffusion_speedrun_tpu.data.loader import (
     DataLoader,
+    ShapeBucketingCollate,
     ShardedSampler,
+    default_collate,
     device_prefetch,
 )
 from video_diffusion_speedrun_tpu.data.synthetic import SyntheticLatentDataset
@@ -89,6 +91,7 @@ class Trainer:
             return SyntheticLatentDataset(
                 num_rows=rows, latent_shape=dcfg.synthetic_shape,
                 seed=0 if split == "train" else 1,
+                t_choices=dcfg.synthetic_t_choices if split == "train" else (),
             )
         from video_diffusion_speedrun_tpu.data.dataset import LatentDataset
 
@@ -103,8 +106,12 @@ class Trainer:
             len(ds), per_host, jax.process_index(), jax.process_count(),
             seed=dcfg.shuffle_seed, shuffle=(split == "train"),
         )
+        collate = default_collate
+        if dcfg.bucket_by_shape and split == "train":
+            collate = ShapeBucketingCollate(per_host)
         loader = DataLoader(
-            ds, sampler, num_workers=dcfg.num_workers, prefetch=dcfg.prefetch,
+            ds, sampler, collate=collate,
+            num_workers=dcfg.num_workers, prefetch=dcfg.prefetch,
             num_epochs=self.cfg.num_epochs if split == "train" else 1,
         )
         return device_prefetch(

@@ -38,6 +38,7 @@ from video_diffusion_speedrun_tpu.ops.pallas_utils import (
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain (native VPU op)
 
 
 
@@ -87,10 +88,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     q = _rope_rotate(q, cq_ref[:], sq_ref[:])
     k = _rope_rotate(k, ck_ref[:], sk_ref[:])
 
+    # logits in the exp2 domain: fold log2(e) into the scale so the online
+    # softmax uses the VPU-native exp2 instead of exp
     s = jax.lax.dot_general(
         q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    ) * (scale * _LOG2E)
 
     if kv_len % block_k != 0:  # static: mask only ragged tails
         kmax = kv_len - ki * block_k
@@ -101,8 +104,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     l_prev = l_scr[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_scr[:] = jnp.broadcast_to(alpha * l_prev + jnp.sum(p, 1, keepdims=True),
                                 l_scr.shape)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -115,7 +118,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     def _():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0, 0, 0] = (m_scr[:, :1] + jnp.log(l)).reshape(bq)
+        # LSE stays in the exp2 domain (internal to this custom VJP)
+        lse_ref[0, 0, 0] = (m_scr[:, :1] + jnp.log2(l)).reshape(bq)
 
 
 def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
@@ -205,8 +209,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qc = q.astype(v.dtype)
     kc = k.astype(v.dtype)
     s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse)
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - lse)  # lse is log2-domain (see forward)
     if kv_len % block_k != 0:  # static: mask only ragged tails
         kmax = kv_len - ki * block_k
         mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
@@ -251,8 +255,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     qc = q.astype(v.dtype)
     kc = k.astype(v.dtype)
     s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse)
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - lse)  # lse is log2-domain (see forward)
     if kv_len % block_k != 0:  # static: mask only ragged tails
         kmax = kv_len - ki * block_k
         mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax

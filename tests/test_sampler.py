@@ -112,3 +112,39 @@ class TestSampler:
         b = generate_latents(params, TINY.replace(in_channels=4), ctx, cfg)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert a.shape == (1, 4, 4, 4, 4)
+
+
+class TestContextKVPrecompute:
+    def test_precompute_matches_on_the_fly(self):
+        """dit_forward(context_kv=precomputed) == dit_forward(context)."""
+        from video_diffusion_speedrun_tpu.models.dit import (
+            dit_forward, precompute_context_kv,
+        )
+
+        params, lat, ctx = _setup()
+        ts = jnp.array([0.6])
+        off = jnp.zeros(3, jnp.int32)
+        want = dit_forward(params, TINY, lat, ctx, ts, rope_offsets=off)
+        ckv = precompute_context_kv(params, TINY, ctx)
+        assert ckv.shape == (TINY.depth, 1, ctx.shape[1],
+                             2 * TINY.hidden_size)
+        got = dit_forward(params, TINY, lat, None, ts, rope_offsets=off,
+                          context_kv=ckv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_unrolled_path_too(self):
+        from video_diffusion_speedrun_tpu.models.dit import (
+            dit_forward, precompute_context_kv,
+        )
+
+        cfg = TINY.replace(scan_blocks=False, remat=False)
+        params, lat, ctx = _setup()
+        ts = jnp.array([0.6])
+        off = jnp.zeros(3, jnp.int32)
+        want = dit_forward(params, cfg, lat, ctx, ts, rope_offsets=off)
+        ckv = precompute_context_kv(params, cfg, ctx)
+        got = dit_forward(params, cfg, lat, None, ts, rope_offsets=off,
+                          context_kv=ckv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)

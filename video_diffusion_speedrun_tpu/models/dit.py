@@ -153,6 +153,20 @@ def param_count(params: Params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))
 
 
+def precompute_context_kv(params: Params, cfg: DiTConfig,
+                          context: jnp.ndarray) -> jnp.ndarray:
+    """Project the cross-attention K/V for every layer once:
+    [depth, B, Lc, 2D]. Pass to `dit_forward(context_kv=...)` when the same
+    context is reused across many forwards (sampling)."""
+    ckv_p = params["blocks"]["context_kv"]
+    cdt = cfg.compute_dtype
+    out = jnp.einsum("blc,dcf->dblf", context.astype(cdt),
+                     ckv_p["weight"].astype(cdt))
+    if "bias" in ckv_p:
+        out = out + ckv_p["bias"].astype(cdt)[:, None, None, :]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -197,6 +211,7 @@ def block_forward(
     v0: jnp.ndarray,
     use_v0,
     token_sharding=None,
+    context_kv: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One DiT block (`model.py:96-167`). Returns (x, v) where v is the
     (possibly value-residual-mixed) self-attention value tensor; the caller
@@ -258,8 +273,13 @@ def block_forward(
         xn = _modulate(xn, shift_ca, scale_ca)
         qc = _dense(bp["q_cross"], xn, cdt)
         qc = qc.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-        ckv = _dense(bp["context_kv"], context, cdt)  # [B, Lc, 2D]
-        lc = context.shape[1]
+        # context K/V: precomputed per generation in the sampler (the context
+        # is constant across Euler steps) or projected on the fly in training
+        if context_kv is not None:
+            ckv = context_kv
+        else:
+            ckv = _dense(bp["context_kv"], context, cdt)  # [B, Lc, 2D]
+        lc = ckv.shape[1]
         ckv = ckv.reshape(b, lc, 2, nh, hd).transpose(2, 0, 3, 1, 4)
         kc, vc = ckv[0], ckv[1]
         # short kv (512 tokens): XLA attention is optimal; flash adds no value
@@ -292,6 +312,7 @@ def dit_forward(
     rope_offsets: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     token_sharding=None,
+    context_kv: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DiT forward (`model.py:358-402`).
 
@@ -306,6 +327,11 @@ def dit_forward(
     GSPMD inserts the k/v all-gathers attention needs — sequence lengths can
     then exceed one chip's activation memory (the reference has no SP/CP at
     all, SURVEY.md §2b).
+
+    `context_kv` [depth, B, Lc, 2D] (from `precompute_context_kv`) skips the
+    per-layer context projections — for sampling, where the prompt embedding
+    is constant across all Euler steps (the reference reprojects it in every
+    one of its 2×50 forwards, `sampling/sample.py:139-141`).
     """
     cdt = cfg.compute_dtype
     b, c, t, h, w = x.shape
@@ -365,23 +391,24 @@ def dit_forward(
     if cfg.scan_blocks:
         def scan_body(carry, inputs):
             xx, v0 = carry
-            bp, idx = inputs
+            bp, idx, ckv = inputs
             xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0,
-                             idx > 0, token_sharding)
+                             idx > 0, token_sharding, ckv)
             v0 = jnp.where(idx == 0, v, v0)
             return (xx, v0), None
 
         (tokens, _), _ = jax.lax.scan(
             scan_body,
             (tokens, v0_init),
-            (params["blocks"], jnp.arange(cfg.depth)),
+            (params["blocks"], jnp.arange(cfg.depth), context_kv),
         )
     else:
         xx, v0 = tokens, v0_init
         for i in range(cfg.depth):
             bp = jax.tree.map(lambda p: p[i], params["blocks"])
             xx, v = block_fn(bp, cfg, xx, context, t_emb, cos, sin, v0, i > 0,
-                             token_sharding)
+                             token_sharding,
+                             None if context_kv is None else context_kv[i])
             if i == 0:
                 v0 = v
         tokens = xx

@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from video_diffusion_speedrun_tpu.core.config import DiTConfig, SamplingConfig
-from video_diffusion_speedrun_tpu.models.dit import dit_forward
+from video_diffusion_speedrun_tpu.models.dit import (
+    dit_forward,
+    precompute_context_kv,
+)
 from video_diffusion_speedrun_tpu.models.rope import random_rope_offsets
 from video_diffusion_speedrun_tpu.train.loss import time_shift
 
@@ -73,6 +76,17 @@ def euler_cfg_sample(
     acc0 = latents.astype(jnp.float32)
     do_cfg = cfg_scale > 1.0
 
+    # the context is constant across the whole trajectory: project each
+    # layer's cross-attention K/V once instead of per step (the reference
+    # reprojects in all 2×50 forwards, `sample.py:139-141`)
+    ckv = None
+    if model_cfg.cross_attn_input_size is not None:
+        if do_cfg:
+            ctx2 = jnp.concatenate([context, jnp.zeros_like(context)], axis=0)
+            ckv = precompute_context_kv(params, model_cfg, ctx2)
+        else:
+            ckv = precompute_context_kv(params, model_cfg, context)
+
     def step(carry, inputs):
         acc, jrng = carry
         t, dt = inputs
@@ -87,16 +101,16 @@ def euler_cfg_sample(
         if do_cfg:
             # batched cond+uncond forward (one 2B model call per step)
             x2 = jnp.concatenate([lat, lat], axis=0)
-            c2 = jnp.concatenate([context, jnp.zeros_like(context)], axis=0)
             t2 = jnp.concatenate([tvec, tvec], axis=0)
-            out2 = dit_forward(params, model_cfg, x2, c2, t2, rng=r1)
+            out2 = dit_forward(params, model_cfg, x2, None, t2, rng=r1,
+                               context_kv=ckv)
             cond, uncond = jnp.split(out2, 2, axis=0)
             out = uncond.astype(jnp.float32) + cfg_scale * (
                 cond.astype(jnp.float32) - uncond.astype(jnp.float32)
             )
         else:
-            out = dit_forward(params, model_cfg, lat, context, tvec,
-                              rng=r1).astype(jnp.float32)
+            out = dit_forward(params, model_cfg, lat, None, tvec,
+                              rng=r1, context_kv=ckv).astype(jnp.float32)
 
         acc = acc + dt * out
         return (acc, jrng), None

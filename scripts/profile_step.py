@@ -21,7 +21,13 @@ sys.path.insert(0, ".")
 
 
 def summarize_trace(trace_dir: str, steps: int):
-    path = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))[-1]
+    traces = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
+    if not traces:
+        raise SystemExit(
+            f"no *.trace.json.gz under {trace_dir} — the profiler produced no "
+            "trace on this backend"
+        )
+    path = traces[-1]
     with gzip.open(path) as f:
         trace = json.load(f)
     events = trace["traceEvents"]

@@ -151,3 +151,25 @@ class TestInferenceRestore:
         np.testing.assert_array_equal(
             np.asarray(params["final_proj"]["weight"]),
             np.asarray(state.params["final_proj"]["weight"]))
+
+    def test_restore_from_step_dir(self, tmp_path):
+        """Pointing sample.py at a specific step dir (checkpoints/run/<N>)
+        works too — code-review finding."""
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            is_orbax_checkpoint, restore_params_for_inference,
+        )
+
+        mesh = build_mesh(TINY.mesh)
+        init_fn, train_step, _, _ = build_train_step(TINY, mesh)
+        state = init_fn(jax.random.PRNGKey(0))
+        state, _ = train_step(state, _batch(), jax.random.PRNGKey(3))
+        mgr = CheckpointManager(str(tmp_path / "run"))
+        mgr.save(int(state.step), state)
+        mgr.wait(); mgr.close()
+
+        step_dir = str(tmp_path / "run" / "1")
+        assert is_orbax_checkpoint(step_dir)
+        params = restore_params_for_inference(step_dir, TINY)
+        np.testing.assert_array_equal(
+            np.asarray(params["final_proj"]["weight"]),
+            np.asarray(state.params["final_proj"]["weight"]))

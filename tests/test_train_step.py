@@ -225,32 +225,41 @@ class TestTrainStep:
             assert np.isfinite(loss), name
 
     def test_grad_accum_exact_with_fixed_randomness(self):
-        """With per-microbatch rng folded the same way, verify grads exactly:
-        compare accum=2 against manually averaging two half-batch grads."""
-        import optax
+        """accumulate_grads(accum=2) must EXACTLY equal the manual average of
+        two half-batch grads computed with the same per-microbatch rngs."""
         from video_diffusion_speedrun_tpu.models.dit import init_dit
         from video_diffusion_speedrun_tpu.train.loss import (
             rectified_flow_loss,
         )
+        from video_diffusion_speedrun_tpu.train.step import accumulate_grads
 
         params = init_dit(jax.random.PRNGKey(0), TINY_MODEL)
         batch = _batch(jax.random.PRNGKey(7))
         rng = jax.random.PRNGKey(3)
         rngs = jax.random.split(rng, 2)
 
-        def loss_fn(p, lat, ctx, r):
-            l, _ = rectified_flow_loss(p, TINY_MODEL, lat, ctx, r,
-                                       caption_dropout=0.0)
-            return l
+        def loss_fn(p, mb, r):
+            return rectified_flow_loss(
+                p, TINY_MODEL, mb["latent"], mb["context"], r,
+                caption_dropout=0.0,
+            )
 
-        # manual two-microbatch average
-        g_sum = None
+        (loss_acc, aux_acc), g_acc = accumulate_grads(
+            loss_fn, params, batch, rng, 2)
+
+        losses, g_sum = [], None
         for i in range(2):
-            lat = batch["latent"][i * 4:(i + 1) * 4]
-            ctx = batch["context"][i * 4:(i + 1) * 4]
-            g = jax.grad(loss_fn)(params, lat, ctx, rngs[i])
+            mb = {k: v[i * 4:(i + 1) * 4] for k, v in batch.items()}
+            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, rngs[i])
+            losses.append(float(l))
             g_sum = g if g_sum is None else jax.tree.map(jnp.add, g_sum, g)
         g_manual = jax.tree.map(lambda x: x / 2, g_sum)
-        assert np.isfinite(
-            float(optax.global_norm(g_manual))) and float(
-            optax.global_norm(g_manual)) > 0
+
+        assert np.isclose(float(loss_acc), np.mean(losses), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_acc), jax.tree.leaves(g_manual)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
+        # aux re-flattened to full-batch shape
+        assert aux_acc["loss_per_sample"].shape == (8,)
+        assert aux_acc["timesteps"].shape == (8,)

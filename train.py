@@ -87,6 +87,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
         num_heads=model_width // model_head_dim, mlp_ratio=4.0,
         cross_attn_input_size=4096, residual_v=True,
         train_bias_and_rms=train_bias_and_rms, use_rope=True,
+        scan_blocks=scan_blocks, remat=remat,
     )
     cfg = TrainConfig(
         model=model,

@@ -39,14 +39,6 @@ DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30  # avoid -inf arithmetic (NaN on fully-masked garbage rows)
 
 
-
-
-
-
-
-
-
-
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------

@@ -41,14 +41,6 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain (native VPU op)
 
 
-
-
-
-
-
-
-
-
 def _rope_rotate(x, cos, sin):
     """y = [x1·c + x2·s, −x1·s + x2·c] (reference convention), fp32."""
     d = x.shape[-1] // 2

@@ -66,15 +66,19 @@ class CheckpointManager:
 
 
 def is_orbax_checkpoint(path: str) -> bool:
-    """True for directories produced by our CheckpointManager (step subdirs
-    with orbax metadata), as opposed to torch DCP dirs / .pt files."""
+    """True for directories produced by our CheckpointManager — either the
+    run root (digit step subdirs) or a single step dir inside it — as opposed
+    to torch DCP dirs / .pt files."""
     if not os.path.isdir(path):
         return False
-    for entry in os.listdir(path):
-        sub = os.path.join(path, entry)
-        if entry.isdigit() and os.path.isdir(sub):
-            return True
-    return False
+    entries = os.listdir(path)
+    if any(e.isdigit() and os.path.isdir(os.path.join(path, e))
+           for e in entries):
+        return True
+    # a step dir: .../run/<step>/ with orbax metadata inside
+    return os.path.basename(os.path.normpath(path)).isdigit() and any(
+        e.startswith("_CHECKPOINT") or e == "state" for e in entries
+    )
 
 
 def restore_params_for_inference(path: str, train_cfg) -> Any:
@@ -86,11 +90,17 @@ def restore_params_for_inference(path: str, train_cfg) -> Any:
     from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
     from video_diffusion_speedrun_tpu.train.step import build_train_step
 
+    step = None
+    base = os.path.basename(os.path.normpath(path))
+    if base.isdigit():  # a specific step dir was passed; use its run root
+        step = int(base)
+        path = os.path.dirname(os.path.normpath(path))
+
     mesh = build_mesh(train_cfg.mesh)
     init_fn, *_ = build_train_step(train_cfg, mesh)
     template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
     mgr = CheckpointManager(path)
-    state = mgr.restore(None, template)
+    state = mgr.restore(step, template)
     mgr.close()
     return state.params
 

@@ -108,6 +108,13 @@ class Trainer:
         )
         collate = default_collate
         if dcfg.bucket_by_shape and split == "train":
+            if jax.process_count() > 1:
+                # per-host bucketing desyncs SPMD (hosts would emit batches
+                # of different shapes/counts); needs a globally coordinated
+                # shape schedule — see NOTES.md
+                raise NotImplementedError(
+                    "bucket_by_shape is single-host only for now"
+                )
             collate = ShapeBucketingCollate(per_host)
         loader = DataLoader(
             ds, sampler, collate=collate,

@@ -35,6 +35,41 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def accumulate_grads(loss_fn, params, batch, rng, accum: int):
+    """Gradient accumulation: batch reshaped to [accum, micro, ...] and
+    scanned; grads/loss are microbatch means (≡ the full-batch mean since the
+    loss is a per-sample mean), bin sums/counts are summed, and per-sample aux
+    arrays are re-flattened to full-batch shape. Each microbatch folds its
+    index into the rng."""
+    micro = jax.tree.map(
+        lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]), batch
+    )
+    rngs = jax.random.split(rng, accum)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+    def body(carry, mb_rng):
+        loss_sum, grad_sum = carry
+        mb, r = mb_rng
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, r
+        )
+        carry = (loss_sum + loss, jax.tree.map(jnp.add, grad_sum, grads))
+        return carry, aux
+
+    (loss_sum, grad_sum), aux_stack = jax.lax.scan(
+        body, (jnp.zeros(()), zero_grads), (micro, rngs)
+    )
+    inv = 1.0 / accum
+    aux = {
+        "bin_sums": aux_stack["bin_sums"].sum(0),
+        "bin_counts": aux_stack["bin_counts"].sum(0),
+        "loss_per_sample": aux_stack["loss_per_sample"].reshape(-1),
+        "timesteps": aux_stack["timesteps"].reshape(-1),
+    }
+    grads = jax.tree.map(lambda g: g * inv, grad_sum)
+    return (loss_sum * inv, aux), grads
+
+
 def state_shardings(params_shd: Any, mesh: Mesh) -> TrainState:
     """Shardings for TrainState: Adam moments mirror the param shardings
     (sharded optimizer state = ZeRO); counters replicate."""
@@ -101,44 +136,9 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
         )
 
     def _grads(params, batch, rng):
-        """Loss + grads, optionally accumulated over microbatches
-        (cfg.grad_accum > 1: batch reshaped to [accum, micro, ...] and
-        scanned — activation memory scales with the microbatch)."""
         if cfg.grad_accum <= 1:
             return jax.value_and_grad(_loss_fn, has_aux=True)(params, batch, rng)
-
-        a = cfg.grad_accum
-        micro = jax.tree.map(
-            lambda x: x.reshape(a, x.shape[0] // a, *x.shape[1:]), batch
-        )
-        rngs = jax.random.split(rng, a)
-
-        def body(carry, mb_rng):
-            loss_sum, aux_sum, grad_sum = carry
-            mb, r = mb_rng
-            (loss, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-                params, mb, r
-            )
-            return (
-                loss_sum + loss,
-                jax.tree.map(jnp.add, aux_sum, aux),
-                jax.tree.map(jnp.add, grad_sum, grads),
-            ), None
-
-        zero_aux = jax.tree.map(
-            jnp.zeros_like,
-            jax.eval_shape(lambda: _loss_fn(
-                params, jax.tree.map(lambda x: x[0], micro), rngs[0])[1]),
-        )
-        zero_grads = jax.tree.map(jnp.zeros_like, params)
-        (loss_sum, aux_sum, grad_sum), _ = jax.lax.scan(
-            body, (jnp.zeros(()), zero_aux, zero_grads), (micro, rngs)
-        )
-        inv = 1.0 / a
-        aux_mean = dict(aux_sum)
-        # sums (bin counts/sums, per-sample) stay sums; scalar means rescale
-        grads = jax.tree.map(lambda g: g * inv, grad_sum)
-        return (loss_sum * inv, aux_mean), grads
+        return accumulate_grads(_loss_fn, params, batch, rng, cfg.grad_accum)
 
     def _train_step(state: TrainState, batch, base_rng) -> Tuple[TrainState, Dict]:
         # per-step rng derived on-device from the step counter: deterministic,

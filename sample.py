@@ -30,13 +30,22 @@ sys.path.insert(0, ".")
 @click.option("--model_head_dim", type=int, default=128)
 @click.option("--return_index", type=int, default=-1,
               help="T5 hidden-state index (sampling default -1, sample.py:93)")
+@click.option("--rope_order",
+              type=click.Choice(["auto", "matched", "reference"]),
+              default="auto",
+              help="RoPE table token order; 'auto' = 'reference' for torch "
+                   "reference checkpoints, else 'matched'")
+@click.option("--decoder_weights", type=str, default=None,
+              help="converted Cosmos decoder .npz (scripts/convert_cosmos.py); "
+                   "without it the decoder runs with RANDOM weights")
 @click.option("--output", type=str, default="./output")
 @click.option("--name", type=str, default="test")
 @click.option("--random_weights", is_flag=True,
               help="skip checkpoint/T5 (smoke-test the pipeline)")
 def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
          num_latent_frames, seed, model_width, model_depth, model_head_dim,
-         return_index, output, name, random_weights):
+         return_index, rope_order, decoder_weights, output, name,
+         random_weights):
     import jax
     import jax.numpy as jnp
 
@@ -44,13 +53,28 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
         DiTConfig, SamplingConfig,
     )
     from video_diffusion_speedrun_tpu.models.cosmos_vae import (
-        CosmosDecoderConfig, init_cosmos_decoder,
+        CosmosDecoderConfig, init_cosmos_decoder, load_decoder_params,
     )
     from video_diffusion_speedrun_tpu.models.dit import init_dit
     from video_diffusion_speedrun_tpu.sampling.decode import (
         save_latents_to_video,
     )
     from video_diffusion_speedrun_tpu.sampling.euler import generate_latents
+    from video_diffusion_speedrun_tpu.train.checkpoint import (
+        is_torch_reference_checkpoint,
+    )
+
+    if rope_order == "auto":
+        rope_order = (
+            "reference"
+            if checkpoint and is_torch_reference_checkpoint(checkpoint)
+            else "matched"
+        )
+        if rope_order == "reference":
+            click.echo(
+                "note: torch reference checkpoint -> rope_order='reference' "
+                "(its weights assume the (t,h,w) RoPE table order)"
+            )
 
     # demo-model architecture (`sampling/sample.py:42-53`)
     model_cfg = DiTConfig(
@@ -58,7 +82,7 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
         hidden_size=model_width, depth=model_depth,
         num_heads=model_width // model_head_dim, mlp_ratio=4.0,
         cross_attn_input_size=4096, residual_v=True,
-        train_bias_and_rms=False,
+        train_bias_and_rms=False, rope_order=rope_order,
     )
     sampling = SamplingConfig(
         inference_steps=inference_steps, cfg_scale=cfg_scale, height=height,
@@ -93,9 +117,16 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
     click.echo(f"latents {latents.shape}, std {float(latents.std()):.3f}")
 
     decoder_cfg = CosmosDecoderConfig()
-    # NOTE: random decoder weights unless a converted Cosmos checkpoint is
-    # installed — see models/cosmos_vae.py docstring.
-    decoder_params = init_cosmos_decoder(jax.random.PRNGKey(2), decoder_cfg)
+    if decoder_weights is not None:
+        decoder_params = load_decoder_params(decoder_weights, decoder_cfg)
+        click.echo(f"loaded Cosmos decoder weights from {decoder_weights}")
+    else:
+        click.echo(
+            "WARNING: no --decoder_weights given — decoding with RANDOM "
+            "Cosmos decoder weights; the output video will be noise. Convert "
+            "the pretrained decoder with scripts/convert_cosmos.py first."
+        )
+        decoder_params = init_cosmos_decoder(jax.random.PRNGKey(2), decoder_cfg)
     path = save_latents_to_video(
         latents[0].astype(jnp.bfloat16), decoder_params, decoder_cfg,
         output, name,

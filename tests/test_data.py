@@ -76,6 +76,66 @@ class TestTorchFreeDeserializer:
         with pytest.raises(pickle.UnpicklingError, match="refusing"):
             load_object(buf.getvalue())
 
+    @staticmethod
+    def _crafted_blob(shape, stride, offset, storage_numel):
+        """Hand-build a torch.save-format archive whose pickle carries
+        attacker-controlled (shape, stride, offset): dataset rows are
+        untrusted bytes, so out-of-extent strides must be rejected, not read
+        out of the storage buffer."""
+        torch = pytest.importorskip("torch")
+        import pickle
+        import zipfile
+        from collections import OrderedDict
+
+        class _Storage:
+            pass
+
+        class _Pickler(pickle.Pickler):
+            def persistent_id(self, obj):
+                if isinstance(obj, _Storage):
+                    return ("storage", torch.FloatStorage, "0", "cpu",
+                            storage_numel)
+                return None
+
+        class _Evil:
+            def __reduce__(self):
+                return (torch._utils._rebuild_tensor_v2,
+                        (_Storage(), offset, tuple(shape), tuple(stride),
+                         False, OrderedDict()))
+
+        pkl = io.BytesIO()
+        _Pickler(pkl, protocol=2).dump(_Evil())
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            zf.writestr("archive/data.pkl", pkl.getvalue())
+            zf.writestr("archive/data/0", b"\x00" * (4 * storage_numel))
+        return buf.getvalue()
+
+    def test_crafted_blob_valid_roundtrips(self):
+        # sanity: the crafted format itself parses when extents are in range
+        blob = self._crafted_blob((2, 3), (3, 1), 0, 6)
+        arr = load_tensor(blob)
+        assert arr.shape == (2, 3)
+
+    @pytest.mark.parametrize("shape,stride,offset,numel", [
+        ((4, 4), (1000, 1), 0, 16),   # row stride reads far past storage
+        ((4, 4), (4, 1), 8, 16),      # offset pushes extent out of range
+        ((4, 4), (-4, 1), 2, 16),     # negative stride reads before storage
+        ((2, 3), (3,), 0, 6),         # rank-mismatched strides
+    ])
+    def test_out_of_extent_strides_rejected(self, shape, stride, offset,
+                                            numel):
+        blob = self._crafted_blob(shape, stride, offset, numel)
+        with pytest.raises(ValueError):
+            load_tensor(blob)
+
+    def test_native_rejects_out_of_extent_strides(self):
+        fastload = pytest.importorskip(
+            "video_diffusion_speedrun_tpu.data._native.fastload")
+        blob = self._crafted_blob((4, 4), (1000, 1), 0, 16)
+        with pytest.raises(ValueError):
+            fastload.load_tensor(blob)
+
 
 class TestShardedSampler:
     def test_disjoint_and_complete(self):

@@ -48,6 +48,12 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 @click.option("--return_index", type=int, default=-8,
               help="T5 hidden-state index")
 @click.option("--load_checkpoint", type=str, default=None)
+@click.option("--rope_order",
+              type=click.Choice(["auto", "matched", "reference"]),
+              default="auto",
+              help="RoPE table token order; 'auto' = 'reference' when "
+                   "--load_checkpoint is a torch reference checkpoint "
+                   "(whose weights assume the (t,h,w) quirk), else 'matched'")
 # --- TPU-native extras (no reference equivalent) ---
 @click.option("--dataset", type=click.Choice(["synthetic", "cosmos_openvid"]),
               default="synthetic")
@@ -71,9 +77,9 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          log_every, run_name, model_width, model_depth, model_head_dim, optimizer_type,
          lr_scheduler_type, train_bias_and_rms, init_std_factor, project_name,
-         return_index, load_checkpoint, dataset, mesh_replica, mesh_fsdp,
-         mesh_context, mesh_tensor, use_t5, seed, use_wandb, scan_blocks,
-         remat, platform):
+         return_index, load_checkpoint, rope_order, dataset, mesh_replica,
+         mesh_fsdp, mesh_context, mesh_tensor, use_t5, seed, use_wandb,
+         scan_blocks, remat, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
@@ -81,13 +87,26 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
 
         jax.config.update("jax_platforms", platform)
 
+    if rope_order == "auto":
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            is_torch_reference_checkpoint,
+        )
+
+        rope_order = "matched"
+        if load_checkpoint and is_torch_reference_checkpoint(load_checkpoint):
+            rope_order = "reference"
+            click.echo(
+                "note: torch reference checkpoint -> rope_order='reference' "
+                "(its weights assume the (t,h,w) RoPE table order)"
+            )
+
     model = DiTConfig(
         in_channels=16, patch_size=2, time_patch_size=2,
         hidden_size=model_width, depth=model_depth,
         num_heads=model_width // model_head_dim, mlp_ratio=4.0,
         cross_attn_input_size=4096, residual_v=True,
         train_bias_and_rms=train_bias_and_rms, use_rope=True,
-        scan_blocks=scan_blocks, remat=remat,
+        rope_order=rope_order, scan_blocks=scan_blocks, remat=remat,
     )
     cfg = TrainConfig(
         model=model,

@@ -81,9 +81,10 @@ bool parse_zip(const uint8_t* data, size_t len, Zip* zip, std::string* err) {
     n_entries = rd64(data + eocd64 + 32);
     cd_offset = rd64(data + eocd64 + 48);
   }
+  if (cd_offset > len) { *err = "central directory out of range"; return false; }
   size_t p = cd_offset;
   for (uint64_t i = 0; i < n_entries; i++) {
-    if (p + 46 > len || rd32(data + p) != 0x02014b50) {
+    if (p > len || len - p < 46 || rd32(data + p) != 0x02014b50) {
       *err = "bad central directory";
       return false;
     }
@@ -94,22 +95,29 @@ bool parse_zip(const uint8_t* data, size_t len, Zip* zip, std::string* err) {
     uint16_t extra_len = rd16(data + p + 30);
     uint16_t comment_len = rd16(data + p + 32);
     uint64_t lho = rd32(data + p + 42);
+    // Record extents are untrusted: validate before touching name/extra.
+    if (len - p - 46 <
+        (uint64_t)name_len + (uint64_t)extra_len + (uint64_t)comment_len) {
+      *err = "central directory record out of range";
+      return false;
+    }
     std::string name((const char*)data + p + 46, name_len);
-    // zip64 extra field
+    // zip64 extra field (each rd64 bounded to the declared field size)
     const uint8_t* extra = data + p + 46 + name_len;
     size_t eo = 0;
     while (eo + 4 <= extra_len) {
       uint16_t id = rd16(extra + eo), sz = rd16(extra + eo + 2);
+      if (eo + 4 + (size_t)sz > extra_len) break;  // truncated field
       if (id == 0x0001) {
-        size_t fo = eo + 4;
-        if (usize == 0xFFFFFFFFu) { usize = rd64(extra + fo); fo += 8; }
-        if (csize == 0xFFFFFFFFu) { csize = rd64(extra + fo); fo += 8; }
-        if (lho == 0xFFFFFFFFu) { lho = rd64(extra + fo); fo += 8; }
+        size_t fo = eo + 4, fend = eo + 4 + sz;
+        if (usize == 0xFFFFFFFFu && fo + 8 <= fend) { usize = rd64(extra + fo); fo += 8; }
+        if (csize == 0xFFFFFFFFu && fo + 8 <= fend) { csize = rd64(extra + fo); fo += 8; }
+        if (lho == 0xFFFFFFFFu && fo + 8 <= fend) { lho = rd64(extra + fo); fo += 8; }
       }
       eo += 4 + sz;
     }
     zip->entries[name] = ZipEntry{lho, usize, method};
-    p += 46 + name_len + extra_len + comment_len;
+    p += 46 + (size_t)name_len + extra_len + comment_len;
   }
   return true;
 }
@@ -532,10 +540,35 @@ PyObject* load_tensor_impl(PyObject*, PyObject* arg) {
 
   const std::vector<int64_t>& shape = top->shape;
   std::vector<npy_intp> dims(shape.begin(), shape.end());
+  // Bounds: shapes/strides come from an untrusted pickle. Compute the full
+  // min/max element offset reachable through (offset, shape, strides) — the
+  // contiguous extent offset+total alone does not bound non-contiguous
+  // layouts, which would let strided_copy read out of the storage buffer.
   int64_t total = 1;
-  for (auto d : shape) total *= d;
-  if ((uint64_t)(top->offset + total) * dt.itemsize >
-      (uint64_t)it->second.size) {
+  bool empty = false;
+  for (auto d : shape) {
+    if (d < 0) {
+      PyBuffer_Release(&buf);
+      PyErr_SetString(PyExc_ValueError, "fastload: negative dim");
+      return nullptr;
+    }
+    if (d == 0) empty = true;
+    total *= d;
+  }
+  if (top->strides.size() != shape.size() || top->offset < 0) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "fastload: bad tensor metadata");
+    return nullptr;
+  }
+  int64_t min_off = top->offset, max_off = top->offset;
+  if (!empty) {
+    for (size_t d = 0; d < shape.size(); d++) {
+      int64_t span = (shape[d] - 1) * top->strides[d];
+      if (span >= 0) max_off += span; else min_off += span;
+    }
+  }
+  if (min_off < 0 ||
+      (uint64_t)(max_off + 1) * dt.itemsize > (uint64_t)it->second.size) {
     PyBuffer_Release(&buf);
     PyErr_SetString(PyExc_ValueError, "fastload: storage too small");
     return nullptr;

@@ -75,7 +75,22 @@ def _rebuild_tensor_v2(storage: _Storage, storage_offset, size, stride,
     base = storage.array
     itemsize = base.dtype.itemsize
     if not size:
+        if not 0 <= storage_offset < base.size:
+            raise ValueError("tensor offset outside storage")
         return base[storage_offset].copy()
+    # Validate extents BEFORE as_strided: these are untrusted dataset bytes,
+    # and unvalidated strides would let as_strided read arbitrary process
+    # memory (the contiguous-extent check alone does not cover
+    # non-contiguous layouts).
+    if len(stride) != len(size):
+        raise ValueError("stride/shape rank mismatch")
+    if storage_offset < 0 or any(s < 0 for s in stride):
+        raise ValueError("negative offset/stride unsupported")
+    if any(d == 0 for d in size):
+        return np.zeros(tuple(size), base.dtype)
+    last = storage_offset + sum((d - 1) * s for d, s in zip(size, stride))
+    if last >= base.size:
+        raise ValueError("tensor extents exceed storage")
     arr = np.lib.stride_tricks.as_strided(
         base[storage_offset:],
         shape=tuple(size),

@@ -23,7 +23,7 @@ def main():
         DiTConfig, SamplingConfig,
     )
     from video_diffusion_speedrun_tpu.models.cosmos_vae import (
-        CosmosDecoderConfig, init_cosmos_decoder,
+        CosmosDecoderConfig, init_cosmos_decoder, load_decoder_params,
     )
     from video_diffusion_speedrun_tpu.models.dit import init_dit
     from video_diffusion_speedrun_tpu.sampling.decode import (
@@ -40,16 +40,23 @@ def main():
     height = st.sidebar.number_input("Height", 128, 1024, 512)
     width = st.sidebar.number_input("Width", 128, 1024, 512)
     checkpoint = st.sidebar.text_input("Checkpoint path", "")
+    decoder_weights = st.sidebar.text_input(
+        "Cosmos decoder weights (.npz)", "",
+        help="converted with scripts/convert_cosmos.py; empty = random "
+             "weights (output is noise)",
+    )
 
     prompt = st.text_area("Enter your prompt:", height=100)
 
     @st.cache_resource
-    def init_models(ckpt: str):
+    def init_models(ckpt: str, dec_npz: str):
+        # reference-trained weights assume the (t,h,w) RoPE table order
         model_cfg = DiTConfig(
             in_channels=16, patch_size=2, time_patch_size=2,
             hidden_size=2048, depth=24, num_heads=16, mlp_ratio=4.0,
             cross_attn_input_size=4096, residual_v=True,
             train_bias_and_rms=False,
+            rope_order="reference" if ckpt else "matched",
         )
         if ckpt:
             from video_diffusion_speedrun_tpu.text.encoder import load_encoder
@@ -63,7 +70,14 @@ def main():
             params = init_dit(jax.random.PRNGKey(0), model_cfg, 0.1)
             encoder = None
         dec_cfg = CosmosDecoderConfig()
-        dec_params = init_cosmos_decoder(jax.random.PRNGKey(2), dec_cfg)
+        if dec_npz:
+            dec_params = load_decoder_params(dec_npz, dec_cfg)
+        else:
+            st.warning(
+                "No Cosmos decoder weights given — decoding with RANDOM "
+                "weights; the output video will be noise."
+            )
+            dec_params = init_cosmos_decoder(jax.random.PRNGKey(2), dec_cfg)
         return model_cfg, params, encoder, dec_cfg, dec_params
 
     if st.button("Generate"):
@@ -72,7 +86,7 @@ def main():
             return
         with st.spinner("Generating..."):
             model_cfg, params, encoder, dec_cfg, dec_params = init_models(
-                checkpoint)
+                checkpoint, decoder_weights)
             if encoder is not None:
                 context = encoder([prompt], return_index=-1)
             else:

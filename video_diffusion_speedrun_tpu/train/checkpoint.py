@@ -81,6 +81,18 @@ def is_orbax_checkpoint(path: str) -> bool:
     )
 
 
+def is_torch_reference_checkpoint(path: str) -> bool:
+    """True for checkpoints produced by the torch reference: a DCP dir
+    (`.distcp` shards), a dir holding its converted `temp.pt`, or a bare
+    `.pt` file (`/root/reference/train.py:292-320`)."""
+    if path.endswith(".pt"):
+        return True
+    if not os.path.isdir(path):
+        return False
+    entries = os.listdir(path)
+    return "temp.pt" in entries or any(e.endswith(".distcp") for e in entries)
+
+
 def restore_params_for_inference(path: str, train_cfg) -> Any:
     """Restore only the model params from a full-TrainState orbax checkpoint
     (for sampling: the optimizer state is not needed). `train_cfg` must

@@ -149,17 +149,28 @@ class Trainer:
     # ----------------------------------------------------------- checkpoints
 
     def _load_checkpoint(self, path: str) -> None:
-        if os.path.isdir(path) and os.path.exists(
-            os.path.join(path, "temp.pt")
-        ) or (os.path.isdir(path) and any(
-            f.endswith(".distcp") for f in os.listdir(path)
-        )) or path.endswith(".pt"):
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            is_torch_reference_checkpoint,
+        )
+
+        if is_torch_reference_checkpoint(path):
             # torch reference checkpoint: weights only (`train.py:292-320`)
             from video_diffusion_speedrun_tpu.parallel.fsdp import shard_params
             from video_diffusion_speedrun_tpu.train.checkpoint import (
                 load_reference_checkpoint,
             )
 
+            if self.cfg.model.rope_order != "reference":
+                # can't rewrite the frozen config here (the jitted step was
+                # built from it) — construct the TrainConfig with
+                # rope_order="reference" instead (train.py CLI does this)
+                self.logger.warning(
+                    "loading a torch reference checkpoint into a model with "
+                    "rope_order=%r — reference weights assume the (t,h,w) "
+                    "RoPE order (model.py:239-240); set "
+                    "model.rope_order='reference' to match",
+                    self.cfg.model.rope_order,
+                )
             params = load_reference_checkpoint(path, self.cfg.model)
             params = shard_params(params, self.mesh)
             self.state = self.state._replace(params=params)

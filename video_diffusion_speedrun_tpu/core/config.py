@@ -61,6 +61,9 @@ class DiTConfig:
     compute_dtype: Any = jnp.bfloat16
     # "auto" → Pallas flash attention on TPU, XLA attention elsewhere.
     attention_impl: str = "auto"  # auto | pallas | xla
+    # "auto" → fused AdaLN+RMSNorm Pallas kernel on TPU (ops/fused_adaln.py),
+    # plain XLA composition elsewhere.
+    fused_adaln: str = "auto"  # auto | pallas | off
     scan_blocks: bool = True
     remat: bool = True
     # remat policy: "nothing" (recompute all) | "dots" (save matmul outputs —

@@ -183,6 +183,25 @@ def _modulate(x, shift, scale):
     return x * (1 + scale[:, None, :]) + shift[:, None, :]
 
 
+def _use_fused_adaln(cfg: DiTConfig) -> bool:
+    if cfg.fused_adaln == "pallas":
+        return True
+    return cfg.fused_adaln == "auto" and jax.default_backend() == "tpu"
+
+
+def _norm_modulate(cfg: DiTConfig, x, gamma, shift, scale):
+    """modulate(rms_norm(x, gamma), shift, scale) — as one Pallas VMEM pass on
+    TPU (ops/fused_adaln.py; keeps the following matmul's prologue clean for
+    the MXU), or the plain XLA composition elsewhere."""
+    if _use_fused_adaln(cfg):
+        from video_diffusion_speedrun_tpu.ops.fused_adaln import (
+            adaln_rms_modulate,
+        )
+
+        return adaln_rms_modulate(x, shift, scale, gamma)
+    return _modulate(rms_norm(x, gamma), shift, scale)
+
+
 def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos,
                          cp_enabled: bool = False) -> bool:
     """Fused RoPE+flash (BLHD) kernel dispatch: explicit "pallas", or "auto"
@@ -194,9 +213,10 @@ def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos,
     if cfg.attention_impl == "pallas":
         return True
     if cfg.attention_impl == "auto":
-        from video_diffusion_speedrun_tpu.ops.attention import PALLAS_MIN_SEQ
-
-        return jax.default_backend() == "tpu" and seq_len >= PALLAS_MIN_SEQ
+        # the fused kernel now has a short-sequence path (single-pass
+        # softmax, one-kernel dq/dk/dv backward) that beats XLA attention at
+        # every measured L (PERFORMANCE.md) — dispatch on TPU unconditionally
+        return jax.default_backend() == "tpu"
     return False
 
 
@@ -228,8 +248,7 @@ def block_forward(
     ) = jnp.split(mod, 9, axis=-1)
 
     # --- Self attention ---
-    xn = rms_norm(x, bp["norm1"].get("scale"))
-    xn = _modulate(xn, shift_sa, scale_sa)
+    xn = _norm_modulate(cfg, x, bp["norm1"].get("scale"), shift_sa, scale_sa)
     qkv = _dense(bp["qkv"], xn, cdt)  # [B, L, 3D]
     # feature layout (k, h, d) — reference "b l (k h d)" (`model.py:126`);
     # q/k/v stay flat [B, L, H·D] (zero-copy slices) for the fused kernel
@@ -269,10 +288,9 @@ def block_forward(
 
     # --- Cross attention ---
     if cfg.cross_attn_input_size is not None:
-        xn = rms_norm(x, bp["norm2"].get("scale"))
-        xn = _modulate(xn, shift_ca, scale_ca)
+        xn = _norm_modulate(cfg, x, bp["norm2"].get("scale"), shift_ca,
+                            scale_ca)
         qc = _dense(bp["q_cross"], xn, cdt)
-        qc = qc.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
         # context K/V: precomputed per generation in the sampler (the context
         # is constant across Euler steps) or projected on the fly in training
         if context_kv is not None:
@@ -280,17 +298,30 @@ def block_forward(
         else:
             ckv = _dense(bp["context_kv"], context, cdt)  # [B, Lc, 2D]
         lc = ckv.shape[1]
-        ckv = ckv.reshape(b, lc, 2, nh, hd).transpose(2, 0, 3, 1, 4)
-        kc, vc = ckv[0], ckv[1]
-        # short kv (512 tokens): XLA attention is optimal; flash adds no value
-        cross_out = attention(qc, kc, vc, impl="xla")
-        cross_out = cross_out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        if _use_fused_attention(cfg, l, cos) or (
+            cfg.attention_impl == "auto"
+            and jax.default_backend() == "tpu"
+        ):
+            # flat-head short-path kernel: k/v are straight column slices of
+            # the (2, h, d)-laid-out context projection — no transposes
+            from video_diffusion_speedrun_tpu.ops.fused_attention import (
+                cross_flash_attention,
+            )
+
+            cross_out = cross_flash_attention(qc, ckv[..., :d], ckv[..., d:],
+                                              nh)
+        else:
+            qch = qc.reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+            ckvh = ckv.reshape(b, lc, 2, nh, hd).transpose(2, 0, 3, 1, 4)
+            kc, vc = ckvh[0], ckvh[1]
+            cross_out = attention(qch, kc, vc, impl="xla")
+            cross_out = cross_out.transpose(0, 2, 1, 3).reshape(b, l, d)
         cross_out = _dense(bp["cross_proj"], cross_out, cdt)
         x = x + cross_out * gate_ca[:, None, :]
 
     # --- MLP ---
-    xn = rms_norm(x, bp["norm3"].get("scale"))
-    xn = _modulate(xn, shift_mlp, scale_mlp)
+    xn = _norm_modulate(cfg, x, bp["norm3"].get("scale"), shift_mlp,
+                        scale_mlp)
     h = _dense(bp["mlp"]["fc1"], xn, cdt)
     h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
     h = _dense(bp["mlp"]["fc2"], h, cdt)
@@ -416,8 +447,8 @@ def dit_forward(
     tokens = tokens[:, r:, :]
     fmod = _dense(params["final_modulation"], jax.nn.silu(t_emb), cdt)
     final_shift, final_scale = jnp.split(fmod, 2, axis=-1)  # shift first (`model.py:387`)
-    tokens = rms_norm(tokens, params["final_norm"].get("scale"))
-    tokens = _modulate(tokens, final_shift, final_scale)
+    tokens = _norm_modulate(cfg, tokens, params["final_norm"].get("scale"),
+                            final_shift, final_scale)
     tokens = _dense(params["final_proj"], tokens, cdt)
 
     return unpatchify(

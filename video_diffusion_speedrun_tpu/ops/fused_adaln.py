@@ -1,0 +1,251 @@
+"""Fused AdaLN-modulated RMSNorm (Pallas TPU) with custom VJP.
+
+The DiT block applies `modulate(rms_norm(x), shift, scale)` before each of
+its three matmuls (`/root/reference/model.py:121-165` — there via SDPA/
+torch.compile fusion). Under XLA the fp32 RMSNorm + modulate chain gets fused
+into the *prologue of the following matmul*, which drags the MXU to 40-100
+TF/s on canonical shapes (measured in scripts/profile_step.py; see
+PERFORMANCE.md). This kernel computes the whole chain as one bandwidth-optimal
+VMEM pass (bf16 in/out, fp32 internally) so the matmul compiles standalone at
+full MXU throughput:
+
+    y = rms_norm(x) * gamma? * (1 + scale[:, None, :]) + shift[:, None, :]
+
+The backward is a second single-pass kernel producing dx plus the shift/scale
+(/gamma) reductions, accumulated in VMEM scratch across the row grid
+(dgamma across the whole grid) — no [B, nL, D] partial buffers.
+
+`gamma` is the optional trainable RMSNorm scale (reference `model.py:25-41`,
+gated by train_bias_and_rms).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_diffusion_speedrun_tpu.ops.pallas_utils import (
+    fit_block as _fit_block,
+    interpret_mode as _interpret,
+    pad_dim as _pad_dim,
+)
+
+DEFAULT_BLOCK_L = 512
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(x_ref, shift_ref, scale_ref, gamma_ref, y_ref, *, eps):
+    xf = x_ref[0].astype(jnp.float32)  # [blk, D]
+    r = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    n = xf * r
+    mul = 1.0 + scale_ref[0].astype(jnp.float32)  # [1, D] broadcast
+    if gamma_ref is not None:
+        mul = mul * gamma_ref[0].astype(jnp.float32)
+    y_ref[0] = (n * mul + shift_ref[0].astype(jnp.float32)).astype(y_ref.dtype)
+
+
+def _fwd_kernel_nogamma(x_ref, shift_ref, scale_ref, y_ref, *, eps):
+    _fwd_kernel(x_ref, shift_ref, scale_ref, None, y_ref, eps=eps)
+
+
+def _forward(x, shift, scale, gamma, eps, block_l):
+    b, l, d = x.shape
+    block_l = _fit_block(l, block_l)
+    xp = _pad_dim(x, 1, block_l)
+    nl = xp.shape[1] // block_l
+
+    in_specs = [
+        pl.BlockSpec((1, block_l, d), lambda b, li: (b, li, 0)),
+        pl.BlockSpec((1, 1, d), lambda b, li: (b, 0, 0)),
+        pl.BlockSpec((1, 1, d), lambda b, li: (b, 0, 0)),
+    ]
+    args = [xp, shift.reshape(b, 1, d), scale.reshape(b, 1, d)]
+    kern = _fwd_kernel_nogamma
+    if gamma is not None:
+        in_specs.append(pl.BlockSpec((1, 1, d), lambda b, li: (0, 0, 0)))
+        args.append(gamma.reshape(1, 1, d))
+        kern = _fwd_kernel
+
+    y = pl.pallas_call(
+        functools.partial(kern, eps=eps),
+        grid=(b, nl),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_l, d), lambda b, li: (b, li, 0)),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return y[:, :l]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(x_ref, shift_ref, scale_ref, gamma_ref, g_ref,
+                dx_ref, dshift_ref, dscale_ref, dgamma_ref,
+                dsh_scr, dsc_scr, dg_scr, *, eps, has_gamma):
+    bi = pl.program_id(0)
+    li = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nl = pl.num_programs(1)
+
+    @pl.when(li == 0)
+    def _():
+        dsh_scr[:] = jnp.zeros_like(dsh_scr)
+        dsc_scr[:] = jnp.zeros_like(dsc_scr)
+
+    if has_gamma:
+        @pl.when(jnp.logical_and(bi == 0, li == 0))
+        def _():
+            dg_scr[:] = jnp.zeros_like(dg_scr)
+
+    xf = x_ref[0].astype(jnp.float32)  # [blk, D]
+    g = g_ref[0].astype(jnp.float32)
+    d = xf.shape[-1]
+    r = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    n = xf * r
+    one_p_scale = 1.0 + scale_ref[0].astype(jnp.float32)  # [1, D]
+
+    if has_gamma:
+        gam = gamma_ref[0].astype(jnp.float32)
+        mul = one_p_scale * gam
+        dg_scr[:] += jnp.sum(g * n * one_p_scale, axis=0, keepdims=True)
+        dsc_scr[:] += jnp.sum(g * n * gam, axis=0, keepdims=True)
+    else:
+        mul = one_p_scale
+        dsc_scr[:] += jnp.sum(g * n, axis=0, keepdims=True)
+    dsh_scr[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    dn = g * mul
+    # rms backward: dx = r * (dn - n * mean(n*dn))
+    dx = r * (dn - n * jnp.sum(n * dn, axis=-1, keepdims=True) / d)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(li == nl - 1)
+    def _():
+        dshift_ref[0] = dsh_scr[:].astype(dshift_ref.dtype)
+        dscale_ref[0] = dsc_scr[:].astype(dscale_ref.dtype)
+
+    if has_gamma:
+        @pl.when(jnp.logical_and(bi == nb - 1, li == nl - 1))
+        def _():
+            dgamma_ref[0] = dg_scr[:].astype(dgamma_ref.dtype)
+
+
+def _bwd_kernel_nogamma(x_ref, shift_ref, scale_ref, g_ref,
+                        dx_ref, dshift_ref, dscale_ref,
+                        dsh_scr, dsc_scr, dg_scr, *, eps):
+    _bwd_kernel(x_ref, shift_ref, scale_ref, None, g_ref,
+                dx_ref, dshift_ref, dscale_ref, None,
+                dsh_scr, dsc_scr, dg_scr, eps=eps, has_gamma=False)
+
+
+def _backward(x, shift, scale, gamma, g, eps, block_l):
+    b, l, d = x.shape
+    block_l = _fit_block(l, block_l)
+    xp = _pad_dim(x, 1, block_l)
+    gp = _pad_dim(g, 1, block_l)  # zero-padded grad rows contribute zero sums
+    nl = xp.shape[1] // block_l
+
+    xspec = pl.BlockSpec((1, block_l, d), lambda b, li: (b, li, 0))
+    bspec = pl.BlockSpec((1, 1, d), lambda b, li: (b, 0, 0))
+    gspec = pl.BlockSpec((1, 1, d), lambda b, li: (0, 0, 0))
+
+    in_specs = [xspec, bspec, bspec]
+    args = [xp, shift.reshape(b, 1, d), scale.reshape(b, 1, d)]
+    out_specs = [xspec, bspec, bspec]
+    out_shape = [
+        jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        jax.ShapeDtypeStruct((b, 1, d), shift.dtype),
+        jax.ShapeDtypeStruct((b, 1, d), scale.dtype),
+    ]
+    if gamma is not None:
+        in_specs.append(gspec)
+        args.append(gamma.reshape(1, 1, d))
+        out_specs.append(gspec)
+        out_shape.append(jax.ShapeDtypeStruct((1, 1, d), gamma.dtype))
+        kern = functools.partial(_bwd_kernel, eps=eps, has_gamma=True)
+    else:
+        kern = functools.partial(_bwd_kernel_nogamma, eps=eps)
+    in_specs.append(xspec)
+    args.append(gp)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, nl),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # scratch accumulates across both grid dims → sequential
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*args)
+    if gamma is not None:
+        dx, dshift, dscale, dgamma = outs
+        dgamma = dgamma.reshape(gamma.shape)
+    else:
+        dx, dshift, dscale = outs
+        dgamma = None
+    return dx[:, :l], dshift.reshape(b, d), dscale.reshape(b, d), dgamma
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _adaln_rms(x, shift, scale, gamma, eps, block_l):
+    return _forward(x, shift, scale, gamma, eps, block_l)
+
+
+def _adaln_rms_fwd(x, shift, scale, gamma, eps, block_l):
+    y = _forward(x, shift, scale, gamma, eps, block_l)
+    return y, (x, shift, scale, gamma)
+
+
+def _adaln_rms_bwd(eps, block_l, res, g):
+    x, shift, scale, gamma = res
+    dx, dshift, dscale, dgamma = _backward(x, shift, scale, gamma, g, eps,
+                                           block_l)
+    return dx, dshift, dscale, dgamma
+
+
+_adaln_rms.defvjp(_adaln_rms_fwd, _adaln_rms_bwd)
+
+
+def adaln_rms_modulate(
+    x: jnp.ndarray,
+    shift: jnp.ndarray,
+    scale: jnp.ndarray,
+    gamma: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+    block_l: int = DEFAULT_BLOCK_L,
+) -> jnp.ndarray:
+    """`rms_norm(x[, gamma]) * (1 + scale) + shift` in one VMEM pass.
+
+    x [B, L, D]; shift/scale [B, D] (broadcast over L); gamma [D] optional.
+    Matches ops.normalization.rms_norm + models.dit._modulate bit-for-bit up
+    to fp32-accumulation order.
+    """
+    return _adaln_rms(x, shift, scale, gamma, eps, block_l)

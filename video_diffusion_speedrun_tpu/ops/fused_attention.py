@@ -345,29 +345,262 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
 
 
 # ---------------------------------------------------------------------------
+# short-sequence path: full-L k/v per grid step, single-pass softmax,
+# one backward kernel producing dq + dk + dv (one s/p recompute instead of
+# the long path's two — the dq-into-dkv fusion)
+# ---------------------------------------------------------------------------
+
+# max kv length for the short path: k/v live whole in VMEM and the backward
+# holds ~3 [bq, Lk] fp32/bf16 logits-sized temps.
+SHORT_MAX_KV = 2048
+_SHORT_VMEM_BUDGET = 8 * 1024 * 1024
+_ALIGN = 16  # sublane multiple for bf16 blocks (fp32 needs only 8)
+
+
+def _short_block_q(lq: int, lk: int, for_bwd: bool) -> int:
+    """Largest 16-aligned q block whose logits-sized temps fit the VMEM
+    budget (fwd: s fp32 + p bf16 ≈ 6 B/logit; bwd: + dp fp32 + ds bf16).
+    16-alignment (not 128) keeps canonical L=1056 entirely pad-free."""
+    per_logit = 12 if for_bwd else 6
+    bq = max(_ALIGN, _SHORT_VMEM_BUDGET // (per_logit * lk))
+    nb = max(1, _cdiv(lq, bq))
+    return _cdiv(_cdiv(lq, nb), _ALIGN) * _ALIGN
+
+
+def _rope_dummies(lq: int, lk: int, dh: int, use_rope: bool, cos_q, sin_q,
+                  cos_k, sin_k):
+    """When RoPE is off the kernels never read the tables — pass 16-row
+    dummies (constant index map) so no real table is DMA'd per grid step."""
+    if use_rope:
+        cqp = _pad_dim(cos_q, 0, lq)
+        sqp = _pad_dim(sin_q, 0, lq)
+        ckp = _pad_dim(cos_k, 0, lk)
+        skp = _pad_dim(sin_k, 0, lk)
+        return cqp, sqp, ckp, skp, lq, lk
+    z = jnp.zeros((_ALIGN, dh), jnp.float32)
+    return z, z, z, z, _ALIGN, _ALIGN
+
+
+def _fwd_short_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                      o_ref, lse_ref, *, scale, kv_len, use_rope):
+    q = q_ref[0].astype(jnp.float32)   # [bq, D]
+    k = k_ref[0].astype(jnp.float32)   # [Lkp, D]
+    v = v_ref[0]                        # [Lkp, D]
+    if use_rope:
+        q = _rope_rotate(q, cq_ref[:], sq_ref[:])
+        k = _rope_rotate(k, ck_ref[:], sk_ref[:])
+    s = jax.lax.dot_general(
+        q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale * _LOG2E)
+    if kv_len != k.shape[0]:  # static: mask only when kv is padded
+        mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < kv_len
+        s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    acc = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log2(l)  # [bq, 1], exp2-domain
+
+
+def _forward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, use_rope):
+    b, lq, hd = q.shape
+    d = hd // h
+    lk = k.shape[1]
+    lkp = _cdiv(lk, _ALIGN) * _ALIGN
+    block_q = _short_block_q(lq, lkp, for_bwd=False)
+    dh = d // 2
+
+    qp = _pad_dim(q, 1, block_q)
+    kp = _pad_dim(k, 1, lkp)
+    vp = _pad_dim(v, 1, lkp)
+    cqp, sqp, ckp, skp, tq, tk = _rope_dummies(
+        qp.shape[1], lkp, dh, use_rope, cos_q, sin_q, cos_k, sin_k)
+    bq_t = block_q if use_rope else _ALIGN
+    lk_t = lkp if use_rope else _ALIGN
+    nq = qp.shape[1] // block_q
+
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_short_kernel, scale=scale, kv_len=lk,
+                          use_rope=use_rope),
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, h, qi: (b, qi, h)),
+            pl.BlockSpec((1, lkp, d), lambda b, h, qi: (b, 0, h)),
+            pl.BlockSpec((1, lkp, d), lambda b, h, qi: (b, 0, h)),
+            pl.BlockSpec((bq_t, dh), lambda b, h, qi: (qi if use_rope else 0, 0)),
+            pl.BlockSpec((bq_t, dh), lambda b, h, qi: (qi if use_rope else 0, 0)),
+            pl.BlockSpec((lk_t, dh), lambda b, h, qi: (0, 0)),
+            pl.BlockSpec((lk_t, dh), lambda b, h, qi: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, h, qi: (b, qi, h)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi: (b, h, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, qp.shape[1], hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h, qp.shape[1], 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * qp.shape[1] * lkp * d,
+            bytes_accessed=2 * b * h * (qp.shape[1] + 2 * lkp) * d,
+            transcendentals=b * h * qp.shape[1] * lkp,
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, cqp, sqp, ckp, skp)
+    return o[:, :lq], lse[:, :, :lq]
+
+
+def _bwd_short_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      cq_ref, sq_ref, ck_ref, sk_ref,
+                      dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                      *, scale, kv_len, use_rope):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    if use_rope:
+        q = _rope_rotate(q, cq_ref[:], sq_ref[:])
+        k = _rope_rotate(k, ck_ref[:], sk_ref[:])
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]      # [bq, 1]
+    delta = delta_ref[0, 0]  # [bq, 1]
+
+    qc = q.astype(v.dtype)
+    kc = k.astype(v.dtype)
+    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - lse)  # log2-domain lse (see forward)
+    if kv_len != k.shape[0]:  # static: zero padded kv columns
+        mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kv_len
+        p = jnp.where(mask, p, 0.0)
+
+    pt = p.astype(do.dtype)
+    dv_scr[:] += jax.lax.dot_general(pt, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * scale).astype(do.dtype)
+    dq = jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if use_rope:
+        dq = _rope_rotate_t(dq, cq_ref[:], sq_ref[:])
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_scr[:] += jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk = dk_scr[:]
+        if use_rope:
+            dk = _rope_rotate_t(dk, ck_ref[:], sk_ref[:])
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _backward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
+                    scale, use_rope):
+    b, lq, hd = q.shape
+    d = hd // h
+    lk = k.shape[1]
+    lkp = _cdiv(lk, _ALIGN) * _ALIGN
+    block_q = _short_block_q(lq, lkp, for_bwd=True)
+    dh = d // 2
+
+    dof = do.astype(jnp.float32).reshape(b, lq, h, d)
+    of = o.astype(jnp.float32).reshape(b, lq, h, d)
+    delta = jnp.einsum("blhd,blhd->bhl", dof, of)[..., None]  # [b,h,lq,1]
+
+    qp = _pad_dim(q, 1, block_q)
+    dop = _pad_dim(do, 1, block_q)
+    lsep = _pad_dim(lse, 2, block_q)
+    deltap = _pad_dim(delta, 2, block_q)
+    kp = _pad_dim(k, 1, lkp)
+    vp = _pad_dim(v, 1, lkp)
+    cqp, sqp, ckp, skp, tq, tk = _rope_dummies(
+        qp.shape[1], lkp, dh, use_rope, cos_q, sin_q, cos_k, sin_k)
+    bq_t = block_q if use_rope else _ALIGN
+    lk_t = lkp if use_rope else _ALIGN
+    nq = qp.shape[1] // block_q
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, h, qi: (b, qi, h))
+    kspec = pl.BlockSpec((1, lkp, d), lambda b, h, qi: (b, 0, h))
+    lspec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi: (b, h, qi, 0))
+    cq_s = pl.BlockSpec((bq_t, dh), lambda b, h, qi: (qi if use_rope else 0, 0))
+    ck_s = pl.BlockSpec((lk_t, dh), lambda b, h, qi: (0, 0))
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_short_kernel, scale=scale, kv_len=lk,
+                          use_rope=use_rope),
+        grid=(b, h, nq),
+        in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
+                  cq_s, cq_s, ck_s, ck_s],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, qp.shape[1], hd), q.dtype),
+            jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, lkp, hd), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((lkp, d), jnp.float32),
+            pltpu.VMEM((lkp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+    return dq[:, :lq], dk[:, :lk], dv[:, :lk]
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _rope_flash(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
-                block_k):
-    o, _ = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
-                    block_k)
+                block_k, use_rope):
+    if block_q == 0:  # short path (see rope_flash_attention dispatch)
+        o, _ = _forward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                              use_rope)
+    else:
+        o, _ = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                        block_q, block_k)
     return o
 
 
 def _rope_flash_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
-                    block_k):
-    o, lse = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
-                      block_k)
+                    block_k, use_rope):
+    if block_q == 0:
+        o, lse = _forward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h,
+                                scale, use_rope)
+    else:
+        o, lse = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                          block_q, block_k)
     return o, (q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse)
 
 
-def _rope_flash_bwd(h, scale, block_q, block_k, res, g):
+def _rope_flash_bwd(h, scale, block_q, block_k, use_rope, res, g):
     q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse = res
-    dq, dk, dv = _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, g,
-                           scale, block_q, block_k)
+    if block_q == 0:
+        dq, dk, dv = _backward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h,
+                                     o, lse, g, scale, use_rope)
+    else:
+        dq, dk, dv = _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o,
+                               lse, g, scale, block_q, block_k)
     return dq, dk, dv, None, None, None, None
 
 
@@ -393,8 +626,34 @@ def rope_flash_attention(
     scale = d ** -0.5 if scale is None else scale
     cos = jax.lax.stop_gradient(cos.astype(jnp.float32))
     sin = jax.lax.stop_gradient(sin.astype(jnp.float32))
+    if _cdiv(k.shape[1], 128) * 128 <= SHORT_MAX_KV:
+        block_q = block_k = 0  # short path: full-L k/v, fused dq/dk/dv bwd
     return _rope_flash(q, k, v, cos, sin, cos, sin, num_heads, scale,
-                       block_q, block_k)
+                       block_q, block_k, True)
+
+
+def cross_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Cross-attention on the short-sequence fused path (no RoPE): flat
+    [B, Lq, H·D] q against [B, Lk, H·D] k/v, Lk ≤ SHORT_MAX_KV (the
+    reference's 512-token T5 context, `model.py:149-157`). Skips the
+    BLHD↔BHLD transposes of the XLA path entirely."""
+    d = q.shape[-1] // num_heads
+    lkp = _cdiv(k.shape[1], 128) * 128
+    if lkp > SHORT_MAX_KV:
+        raise ValueError(f"cross_flash_attention: kv length {k.shape[1]} "
+                         f"exceeds short-path limit {SHORT_MAX_KV}")
+    scale = d ** -0.5 if scale is None else scale
+    dh = d // 2
+    z_q = jnp.zeros((q.shape[1], dh), jnp.float32)
+    z_k = jnp.zeros((k.shape[1], dh), jnp.float32)
+    return _rope_flash(q, k, v, z_q, z_q, z_k, z_k, num_heads, scale, 0, 0,
+                       False)
 
 
 def cp_rope_flash_attention(
@@ -431,7 +690,7 @@ def cp_rope_flash_attention(
         k_full = jax.lax.all_gather(k, AXIS_CONTEXT, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, AXIS_CONTEXT, axis=1, tiled=True)
         return _rope_flash(q, k_full, v_full, cos_q, sin_q, cos_f, sin_f,
-                           num_heads, scale, block_q, block_k)
+                           num_heads, scale, block_q, block_k, True)
 
     tok = P(DATA_AXES, AXIS_CONTEXT, None)
     return shard_map(

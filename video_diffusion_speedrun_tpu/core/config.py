@@ -64,6 +64,10 @@ class DiTConfig:
     # "auto" → fused AdaLN+RMSNorm Pallas kernel on TPU (ops/fused_adaln.py),
     # plain XLA composition elsewhere.
     fused_adaln: str = "auto"  # auto | pallas | off
+    # gated-residual+norm join fusion (gated_residual_adaln): lower device
+    # self-time but net-slower on the canonical config (pipeline bubbles,
+    # PERFORMANCE.md) — off by default, available for bandwidth-bound regimes
+    fused_residual: bool = False
     scan_blocks: bool = True
     remat: bool = True
     # remat policy: "nothing" (recompute all) | "dots" (save matmul outputs —

@@ -284,12 +284,27 @@ def block_forward(
         out = attention(qh, kh, vh, impl=cfg.attention_impl)
         attn_out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     attn_out = _dense(bp["attn_proj"], attn_out, cdt)
-    x = x + attn_out * gate_sa[:, None, :]
+    has_cross = cfg.cross_attn_input_size is not None
+    if _use_fused_adaln(cfg) and cfg.fused_residual:
+        # fuse the residual join with the next sub-layer's norm prologue
+        from video_diffusion_speedrun_tpu.ops.fused_adaln import (
+            gated_residual_adaln,
+        )
+
+        next_norm = ("norm2", shift_ca, scale_ca) if has_cross else (
+            "norm3", shift_mlp, scale_mlp)
+        x, xn = gated_residual_adaln(
+            x, attn_out, gate_sa, next_norm[1], next_norm[2],
+            bp[next_norm[0]].get("scale"))
+    else:
+        x = x + attn_out * gate_sa[:, None, :]
+        xn = None
 
     # --- Cross attention ---
-    if cfg.cross_attn_input_size is not None:
-        xn = _norm_modulate(cfg, x, bp["norm2"].get("scale"), shift_ca,
-                            scale_ca)
+    if has_cross:
+        if xn is None:
+            xn = _norm_modulate(cfg, x, bp["norm2"].get("scale"), shift_ca,
+                                scale_ca)
         qc = _dense(bp["q_cross"], xn, cdt)
         # context K/V: precomputed per generation in the sampler (the context
         # is constant across Euler steps) or projected on the fly in training
@@ -317,13 +332,32 @@ def block_forward(
             cross_out = attention(qch, kc, vc, impl="xla")
             cross_out = cross_out.transpose(0, 2, 1, 3).reshape(b, l, d)
         cross_out = _dense(bp["cross_proj"], cross_out, cdt)
-        x = x + cross_out * gate_ca[:, None, :]
+        if _use_fused_adaln(cfg) and cfg.fused_residual:
+            from video_diffusion_speedrun_tpu.ops.fused_adaln import (
+                gated_residual_adaln,
+            )
+
+            x, xn = gated_residual_adaln(
+                x, cross_out, gate_ca, shift_mlp, scale_mlp,
+                bp["norm3"].get("scale"))
+        else:
+            x = x + cross_out * gate_ca[:, None, :]
+            xn = None
 
     # --- MLP ---
-    xn = _norm_modulate(cfg, x, bp["norm3"].get("scale"), shift_mlp,
-                        scale_mlp)
-    h = _dense(bp["mlp"]["fc1"], xn, cdt)
-    h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
+    if xn is None:
+        xn = _norm_modulate(cfg, x, bp["norm3"].get("scale"), shift_mlp,
+                            scale_mlp)
+    if _use_fused_adaln(cfg):
+        # bias+GELU as one VMEM pass (exact-erf semantics via A&S 7.1.26) —
+        # keeps the erf polynomial out of the fc1 matmul epilogue
+        from video_diffusion_speedrun_tpu.ops.fused_gelu import bias_gelu
+
+        h = jnp.dot(xn, bp["mlp"]["fc1"]["weight"].astype(cdt))
+        h = bias_gelu(h, bp["mlp"]["fc1"]["bias"].astype(cdt))
+    else:
+        h = _dense(bp["mlp"]["fc1"], xn, cdt)
+        h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default = exact erf
     h = _dense(bp["mlp"]["fc2"], h, cdt)
     x = x + h * gate_mlp[:, None, :]
 

@@ -1,0 +1,202 @@
+"""Fused bias + exact-GELU (Pallas TPU) with custom VJP.
+
+The reference MLP applies torch's default (exact-erf) GELU between fc1 and
+fc2 (`/root/reference/model.py:82-87`). On TPU, XLA lowers `erf` to a long
+VPU polynomial and fuses it into the fc1 matmul epilogue, dragging the MXU:
+measured on v5e, [8448,512]x[512,2048] goes 0.11 ms bare → 0.35 ms with
+bias+erf-GELU fused in (scripts in PERFORMANCE.md). This kernel computes
+bias + GELU as one bandwidth-optimal VMEM pass using the Abramowitz–Stegun
+7.1.26 rational erf approximation evaluated in the exp2 domain (the VPU's
+native transcendental): |erf error| ≤ 1.5e-7 — three orders of magnitude
+below bf16 resolution, so outputs are bit-identical to exact GELU after the
+bf16 cast in practice.
+
+Backward recomputes the activation from the saved pre-bias input (one pass:
+dx = g · (Φ(x) + x·φ(x))) and accumulates dbias in VMEM scratch across the
+whole grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_diffusion_speedrun_tpu.ops.pallas_utils import (
+    fit_block as _fit_block,
+    interpret_mode as _interpret,
+    pad_dim as _pad_dim,
+)
+
+_LOG2E = 1.4426950408889634
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+
+# Abramowitz & Stegun 7.1.26 coefficients
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _erf(u):
+    """A&S 7.1.26 erf, fp32, exp2-domain exponential. |err| ≤ 1.5e-7."""
+    a = jnp.abs(u)
+    t = 1.0 / (1.0 + _AS_P * a)
+    poly = t * (_AS_A[0] + t * (_AS_A[1] + t * (_AS_A[2] + t * (_AS_A[3] + t * _AS_A[4]))))
+    e = 1.0 - poly * jnp.exp2(-(a * a) * _LOG2E)
+    return jnp.sign(u) * e
+
+
+def _gelu_parts(x):
+    """Returns (cdf, pdf·x-ready pieces): Φ(x) = 0.5(1+erf(x/√2))."""
+    return 0.5 * (1.0 + _erf(x * _INV_SQRT2))
+
+
+def _fwd_kernel(x_ref, b_ref, y_ref):
+    x = x_ref[0].astype(jnp.float32)
+    if b_ref is not None:
+        x = x + b_ref[0].astype(jnp.float32)
+    y_ref[0] = (x * _gelu_parts(x)).astype(y_ref.dtype)
+
+
+def _fwd_kernel_nobias(x_ref, y_ref):
+    _fwd_kernel(x_ref, None, y_ref)
+
+
+def _bwd_kernel(x_ref, b_ref, g_ref, dx_ref, db_ref, db_scr):
+    li = pl.program_id(1)
+    nl = pl.num_programs(1)
+    has_bias = b_ref is not None
+    if has_bias:
+        @pl.when(li == 0)
+        def _():
+            db_scr[:] = jnp.zeros_like(db_scr)
+
+    x = x_ref[0].astype(jnp.float32)
+    if has_bias:
+        x = x + b_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    cdf = _gelu_parts(x)
+    pdf = jnp.exp2(-(x * x) * (0.5 * _LOG2E)) * _INV_SQRT2PI
+    dx = g * (cdf + x * pdf)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    if has_bias:
+        db_scr[:] += jnp.sum(dx, axis=0, keepdims=True)
+
+        @pl.when(li == nl - 1)
+        def _():
+            db_ref[0] = db_scr[:].astype(db_ref.dtype)
+
+
+def _bwd_kernel_nobias(x_ref, g_ref, dx_ref, db_scr):
+    _bwd_kernel(x_ref, None, g_ref, dx_ref, None, db_scr)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _block_l(l: int, f: int) -> int:
+    """16-aligned row block sized so ~3 fp32 copies of the tile fit 6 MB."""
+    budget = 6 * 1024 * 1024
+    blk = max(16, (budget // (12 * f)) // 16 * 16)
+    nb = max(1, _cdiv(l, blk))
+    return _cdiv(_cdiv(l, nb), 16) * 16
+
+
+def _forward(x, bias):
+    b, l, f = x.shape
+    blk = _block_l(l, f)
+    xp = _pad_dim(x, 1, blk)
+    nl = xp.shape[1] // blk
+    xspec = pl.BlockSpec((1, blk, f), lambda b, li: (b, li, 0))
+    in_specs, args = [xspec], [xp]
+    kern = _fwd_kernel_nobias
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, f), lambda b, li: (0, 0, 0)))
+        args.append(bias.reshape(1, 1, f))
+        kern = _fwd_kernel
+    y = pl.pallas_call(
+        kern,
+        grid=(b, nl),
+        in_specs=in_specs,
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return y[:, :l]
+
+
+def _backward(x, bias, g):
+    b, l, f = x.shape
+    blk = _block_l(l, f)
+    xp = _pad_dim(x, 1, blk)
+    gp = _pad_dim(g, 1, blk)  # zero grad rows → zero dbias contributions
+    nl = xp.shape[1] // blk
+    xspec = pl.BlockSpec((1, blk, f), lambda b, li: (b, li, 0))
+    if bias is not None:
+        outs = pl.pallas_call(
+            _bwd_kernel,
+            grid=(b, nl),
+            in_specs=[xspec, pl.BlockSpec((1, 1, f), lambda b, li: (0, 0, 0)),
+                      xspec],
+            out_specs=(xspec,
+                       pl.BlockSpec((1, 1, f), lambda b, li: (b, 0, 0))),
+            out_shape=(
+                jax.ShapeDtypeStruct(xp.shape, x.dtype),
+                jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((1, f), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                # per-b dbias partials summed outside → batch dim parallel
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=_interpret(),
+        )(xp, bias.reshape(1, 1, f), gp)
+        dx, db = outs
+        return dx[:, :l], db.sum(axis=0).reshape(bias.shape).astype(bias.dtype)
+    dx = pl.pallas_call(
+        _bwd_kernel_nobias,
+        grid=(b, nl),
+        in_specs=[xspec, xspec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((1, f), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(xp, gp)
+    return dx[:, :l], None
+
+
+@jax.custom_vjp
+def _bias_gelu(x, bias):
+    return _forward(x, bias)
+
+
+def _bias_gelu_fwd(x, bias):
+    return _forward(x, bias), (x, bias)
+
+
+def _bias_gelu_bwd(res, g):
+    x, bias = res
+    return _backward(x, bias, g)
+
+
+_bias_gelu.defvjp(_bias_gelu_fwd, _bias_gelu_bwd)
+
+
+def bias_gelu(x: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """GELU(x + bias) in one VMEM pass (exact-erf semantics; A&S 7.1.26).
+
+    x [B, L, F]; bias [F] or None. Matches jax.nn.gelu(approximate=False)
+    to ≤1.5e-7 absolute in fp32 (identical after bf16 cast).
+    """
+    return _bias_gelu(x, bias)

@@ -215,7 +215,7 @@ def main():
               lambda: (jax.jit(jax.grad(loss_xlu)), (pxl,)),
               dit_train_flops(xl, B, T, H, W, LC))
     if "opt" in which:
-        tx, _, _ = build_optimizer(params, 2 ** -6, 5004,
+        tx, _, _, _ = build_optimizer(params, 2 ** -6, 5004,
                                    OptimizerConfig(scheduler="linear"))
         opt_state = tx.init(params)
 

@@ -30,7 +30,7 @@ B, T, H, W, LC = 8, 8, 32, 32, 512
 
 def main():
     params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
-    tx, _, sched = build_optimizer(params, 2 ** -6, 5004,
+    tx, _, sched, _ = build_optimizer(params, 2 ** -6, 5004,
                                    OptimizerConfig(scheduler="linear"))
     opt_state = tx.init(params)
     batch_lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W),

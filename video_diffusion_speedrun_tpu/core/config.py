@@ -240,6 +240,9 @@ class TrainConfig:
     # dump (latent, context, timesteps) at step 0 to test_data/ — the
     # reference's CAPTURE_INPUT fixture mechanism (`train.py:40,98-101`)
     capture_fixtures: bool = False
+    # compute+log grad_norm each step (costs a full pass over the grad tree;
+    # the reference logs only loss/lr, `train.py:468-477`)
+    log_grad_norm: bool = False
     # call jax.distributed.initialize() (multi-host pods)
     distributed: bool = False
 

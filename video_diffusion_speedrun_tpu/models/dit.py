@@ -250,9 +250,8 @@ def block_forward(
     # --- Self attention ---
     xn = _norm_modulate(cfg, x, bp["norm1"].get("scale"), shift_sa, scale_sa)
     qkv = _dense(bp["qkv"], xn, cdt)  # [B, L, 3D]
-    # feature layout (k, h, d) — reference "b l (k h d)" (`model.py:126`);
-    # q/k/v stay flat [B, L, H·D] (zero-copy slices) for the fused kernel
-    q, k, v = qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:]
+    # feature layout (k, h, d) — reference "b l (k h d)" (`model.py:126`)
+    v = qkv[..., 2 * d:]
 
     if cfg.residual_v:
         lam = bp["lambda_param"].astype(cdt)
@@ -265,16 +264,25 @@ def block_forward(
                 cp_rope_flash_attention,
             )
 
+            q, k = qkv[..., :d], qkv[..., d:2 * d]
             attn_out = cp_rope_flash_attention(
                 q, k, v, cos, sin, nh, token_sharding
             )
         else:
             from video_diffusion_speedrun_tpu.ops.fused_attention import (
+                SHORT_MAX_KV,
+                qkv_rope_flash_attention,
                 rope_flash_attention,
             )
 
-            attn_out = rope_flash_attention(q, k, v, cos, sin, nh)  # [B,L,H·D]
+            if l <= SHORT_MAX_KV:
+                # q/k read straight from the fused projection — no slices
+                attn_out = qkv_rope_flash_attention(qkv, v, cos, sin, nh)
+            else:
+                q, k = qkv[..., :d], qkv[..., d:2 * d]
+                attn_out = rope_flash_attention(q, k, v, cos, sin, nh)
     else:
+        q, k = qkv[..., :d], qkv[..., d:2 * d]
         qh, kh, vh = (
             t.reshape(b, l, nh, hd).transpose(0, 2, 1, 3) for t in (q, k, v)
         )

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from video_diffusion_speedrun_tpu.ops.pallas_utils import (
-    fit_block as _fit_block,
+    fit_block_div as _fit_block,
     interpret_mode as _interpret,
     pad_dim as _pad_dim,
 )

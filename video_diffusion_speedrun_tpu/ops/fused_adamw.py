@@ -1,0 +1,113 @@
+"""Fused single-pass AdamW leaf update (Pallas TPU), aliased in-place.
+
+The TPU analog of the reference's fused-CUDA AdamW (`/root/reference/
+train.py:340-344`). Per parameter leaf: one kernel reads (p, m, v, g) and
+writes (p, m, v) through `input_output_aliases` — guaranteed single HBM pass
+with in-place buffers (the optax chain measured ~330 GB/s effective on v5e;
+this kernel is a pure streaming update). Math follows optax `scale_by_adam`
+bit-for-bit (same op order; equality asserted in tests/test_train_step.py):
+
+    m ← b1·m + (1−b1)·g
+    v ← b2·v + (1−b2)·g²
+    p ← p − lr·lr_t · ( (m/bc1)/(√(v/bc2)+eps) + wd·p )
+
+with bias corrections bc1 = 1−b1^t, bc2 = 1−b2^t passed in (computed once
+per step), and per-leaf muP (lr, wd) baked in statically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_diffusion_speedrun_tpu.ops.pallas_utils import (
+    cdiv as _cdiv,
+    fit_block_div as _fit_block_div,
+    interpret_mode as _interpret,
+)
+
+
+def _kernel(s_ref, p_ref, m_ref, v_ref, g_ref, p2_ref, m2_ref, v2_ref,
+            *, lr, wd, b1, b2, eps):
+    lr_t = s_ref[0, 0]
+    bc1 = s_ref[0, 1]
+    bc2 = s_ref[0, 2]
+    g = g_ref[...].astype(jnp.float32)
+    m2 = b1 * m_ref[...] + (1.0 - b1) * g
+    v2 = b2 * v_ref[...] + (1.0 - b2) * jnp.square(g)
+    direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+    p = p_ref[...]
+    pf = p.astype(jnp.float32)
+    p2_ref[...] = (pf + (-(lr * lr_t) * (direction + wd * pf))).astype(
+        p2_ref.dtype)
+    m2_ref[...] = m2
+    v2_ref[...] = v2
+
+
+def _pick_block(rows: int, max_rows: int):
+    """Largest 8-aligned divisor of `rows` that is ≤ max_rows (None if the
+    leaf has no suitable divisor — caller falls back to the jnp path)."""
+    if rows <= max_rows:
+        return rows
+    start = min(rows, max_rows)
+    start -= start % 8
+    for blk in range(start, 7, -8):
+        if rows % blk == 0:
+            return blk
+    return None
+
+
+def adamw_leaf_update(p, m, v, g, lr, wd, lr_t, bc1, bc2, b1, b2, eps):
+    """Single-pass fused AdamW for one leaf. Returns (p2, m2, v2) — or None
+    when the leaf shape has no clean blocking (caller falls back); the three
+    state inputs are donated/aliased to the outputs."""
+    shape = p.shape
+    if p.ndim >= 2 and shape[-1] % 128 == 0:
+        rows = 1
+        for s in shape[:-1]:
+            rows *= s
+        cols = shape[-1]
+    else:
+        rows, cols = 1, p.size
+    # block rows so ~7 fp32 copies of the tile stay within ~6 MB
+    max_rows = max(1, (6 * 1024 * 1024) // (28 * cols))
+    blk = _pick_block(rows, max_rows)
+    if blk is None:
+        return None
+    nb = rows // blk
+    p2d = p.reshape(rows, cols)
+    m2d = m.reshape(rows, cols)
+    v2d = v.reshape(rows, cols)
+    g2d = g.reshape(rows, cols)
+
+    scalars = jnp.stack([lr_t.astype(jnp.float32),
+                         bc1.astype(jnp.float32),
+                         bc2.astype(jnp.float32)]).reshape(1, 3)
+    spec = pl.BlockSpec((blk, cols), lambda i: (i, 0))
+    p2, m2n, v2n = pl.pallas_call(
+        functools.partial(_kernel, lr=float(lr), wd=float(wd),
+                          b1=b1, b2=b2, eps=eps),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec, spec, spec, spec,
+        ],
+        out_specs=(spec, spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, cols), p.dtype),
+            jax.ShapeDtypeStruct((rows, cols), m.dtype),
+            jax.ShapeDtypeStruct((rows, cols), v.dtype),
+        ),
+        # alias p/m/v (args 1..3 after the scalar operand) to the outputs:
+        # true in-place streaming update
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=_interpret(),
+    )(scalars, p2d, m2d, v2d, g2d)
+    return p2.reshape(shape), m2n.reshape(shape), v2n.reshape(shape)

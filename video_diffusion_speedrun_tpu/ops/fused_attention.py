@@ -353,15 +353,17 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
 # max kv length for the short path: k/v live whole in VMEM and the backward
 # holds ~3 [bq, Lk] fp32/bf16 logits-sized temps.
 SHORT_MAX_KV = 2048
-_SHORT_VMEM_BUDGET = 8 * 1024 * 1024
+_SHORT_VMEM_BUDGET = 10 * 1024 * 1024 + 512 * 1024
 _ALIGN = 16  # sublane multiple for bf16 blocks (fp32 needs only 8)
 
 
 def _short_block_q(lq: int, lk: int, for_bwd: bool) -> int:
     """Largest 16-aligned q block whose logits-sized temps fit the VMEM
-    budget (fwd: s fp32 + p bf16 ≈ 6 B/logit; bwd: + dp fp32 + ds bf16).
+    budget. Peak liveness per logit: fwd max(s+p)=6 B; bwd
+    max(s+p, p+dp+ds)=9 B (s dies into p; p/dp die into ds) — sized so the
+    canonical L=1056 backward runs as a single q block per (b,h).
     16-alignment (not 128) keeps canonical L=1056 entirely pad-free."""
-    per_logit = 12 if for_bwd else 6
+    per_logit = 9 if for_bwd else 6
     bq = max(_ALIGN, _SHORT_VMEM_BUDGET // (per_logit * lk))
     nb = max(1, _cdiv(lq, bq))
     return _cdiv(_cdiv(lq, nb), _ALIGN) * _ALIGN
@@ -456,7 +458,173 @@ def _forward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, use_rope):
     return o[:, :lq], lse[:, :, :lq]
 
 
-def _bwd_short_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _forward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                       use_rope):
+    """Short-path forward reading q/k directly from the fused [B, L, 3·H·D]
+    qkv projection via column index maps (head h's q at block-col h, k at
+    block-col H+h) — the q/k slice copies of the flat API never materialize.
+    `v` is separate because the caller may value-residual-mix it
+    (`model.py:129-130`)."""
+    b, lq, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // h
+    lk = lq
+    lkp = _cdiv(lk, _ALIGN) * _ALIGN
+    block_q = _short_block_q(lq, lkp, for_bwd=False)
+    dh = d // 2
+
+    lqp = _cdiv(lq, block_q) * block_q
+    assert lqp >= lkp  # 16-aligned ceilings: q rows cover the k window
+    qkvp = _pad_dim(qkv, 1, block_q)
+    vp = _pad_dim(v, 1, lkp)
+    cqp, sqp, ckp, skp, tq, tk = _rope_dummies(
+        lqp, lkp, dh, use_rope, cos_q, sin_q, cos_k, sin_k)
+    bq_t = block_q if use_rope else _ALIGN
+    lk_t = lkp if use_rope else _ALIGN
+    nq = lqp // block_q
+
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_short_kernel, scale=scale, kv_len=lk,
+                          use_rope=use_rope),
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, hh, qi: (b, qi, hh)),
+            pl.BlockSpec((1, lkp, d), lambda b, hh, qi: (b, 0, h + hh)),
+            pl.BlockSpec((1, lkp, d), lambda b, hh, qi: (b, 0, hh)),
+            pl.BlockSpec((bq_t, dh), lambda b, hh, qi: (qi if use_rope else 0, 0)),
+            pl.BlockSpec((bq_t, dh), lambda b, hh, qi: (qi if use_rope else 0, 0)),
+            pl.BlockSpec((lk_t, dh), lambda b, hh, qi: (0, 0)),
+            pl.BlockSpec((lk_t, dh), lambda b, hh, qi: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, hh, qi: (b, qi, hh)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, hh, qi: (b, hh, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lqp, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, h, lqp, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lqp * lkp * d,
+            bytes_accessed=2 * b * h * (lqp + 2 * lkp) * d,
+            transcendentals=b * h * lqp * lkp,
+        ),
+        interpret=_interpret(),
+    )(qkvp, qkvp, vp, cqp, sqp, ckp, skp)
+    return o[:, :lq], lse[:, :, :lq]
+
+
+def _backward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
+                        scale, use_rope):
+    """Short-path backward with q/k read from the fused qkv array; returns
+    (dq, dk, dv) — the caller assembles d(qkv)."""
+    b, lq, hd3 = qkv.shape
+    hd = hd3 // 3
+    d = hd // h
+    lk = lq
+    lkp = _cdiv(lk, _ALIGN) * _ALIGN
+    block_q = _short_block_q(lq, lkp, for_bwd=True)
+    dh = d // 2
+
+    lqp = _cdiv(lq, block_q) * block_q
+    assert lqp >= lkp
+    qkvp = _pad_dim(qkv, 1, block_q)
+    vp = _pad_dim(v, 1, lkp)
+    dop = _pad_dim(do, 1, block_q)
+    op = _pad_dim(o, 1, block_q)
+    lsep = _pad_dim(lse, 2, block_q)
+    cqp, sqp, ckp, skp, tq, tk = _rope_dummies(
+        lqp, lkp, dh, use_rope, cos_q, sin_q, cos_k, sin_k)
+    bq_t = block_q if use_rope else _ALIGN
+    lk_t = lkp if use_rope else _ALIGN
+    nq = lqp // block_q
+
+    qspec_src = pl.BlockSpec((1, block_q, d), lambda b, hh, qi: (b, qi, hh))
+    kspec_src = pl.BlockSpec((1, lkp, d), lambda b, hh, qi: (b, 0, h + hh))
+    vspec = pl.BlockSpec((1, lkp, d), lambda b, hh, qi: (b, 0, hh))
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, hh, qi: (b, qi, hh))
+    kspec = pl.BlockSpec((1, lkp, d), lambda b, hh, qi: (b, 0, hh))
+    lspec = pl.BlockSpec((1, 1, block_q, 1), lambda b, hh, qi: (b, hh, qi, 0))
+    cq_s = pl.BlockSpec((bq_t, dh), lambda b, hh, qi: (qi if use_rope else 0, 0))
+    ck_s = pl.BlockSpec((lk_t, dh), lambda b, hh, qi: (0, 0))
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_short_kernel, scale=scale, kv_len=lk,
+                          use_rope=use_rope),
+        grid=(b, h, nq),
+        in_specs=[qspec_src, kspec_src, vspec, qspec, lspec, qspec,
+                  cq_s, cq_s, ck_s, ck_s],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lqp, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, lkp, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, lkp, hd), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((lkp, d), jnp.float32),
+            pltpu.VMEM((lkp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * lqp * lkp * d,
+            bytes_accessed=2 * b * h * (4 * lqp + 4 * lkp) * d,
+            transcendentals=b * h * lqp * lkp,
+        ),
+        interpret=_interpret(),
+    )(qkvp, qkvp, vp, dop, lsep, op, cqp, sqp, ckp, skp)
+    return dq[:, :lq], dk[:, :lk], dv[:, :lk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _qkv_rope_flash(qkv, v, cos_q, sin_q, cos_k, sin_k, h, scale, use_rope):
+    o, _ = _forward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                              use_rope)
+    return o
+
+
+def _qkv_rope_flash_fwd(qkv, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                        use_rope):
+    o, lse = _forward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h,
+                                scale, use_rope)
+    return o, (qkv, v, cos_q, sin_q, cos_k, sin_k, o, lse)
+
+
+def _qkv_rope_flash_bwd(h, scale, use_rope, res, g):
+    qkv, v, cos_q, sin_q, cos_k, sin_k, o, lse = res
+    dq, dk, dv = _backward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h,
+                                     o, lse, g, scale, use_rope)
+    dqkv = jnp.concatenate([dq, dk, jnp.zeros_like(dq)], axis=-1)
+    return dqkv, dv, None, None, None, None
+
+
+_qkv_rope_flash.defvjp(_qkv_rope_flash_fwd, _qkv_rope_flash_bwd)
+
+
+def qkv_rope_flash_attention(
+    qkv: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    num_heads: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Self-attention reading q/k directly from the fused qkv projection
+    [B, L, 3·H·D] (no slice copies); `v` passed separately (value-residual
+    mixing happens outside). Short path only (L ≤ SHORT_MAX_KV)."""
+    d = qkv.shape[-1] // (3 * num_heads)
+    scale = d ** -0.5 if scale is None else scale
+    cos = jax.lax.stop_gradient(cos.astype(jnp.float32))
+    sin = jax.lax.stop_gradient(sin.astype(jnp.float32))
+    return _qkv_rope_flash(qkv, v, cos, sin, cos, sin, num_heads, scale,
+                           True)
+
+
+def _bwd_short_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                       cq_ref, sq_ref, ck_ref, sk_ref,
                       dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                       *, scale, kv_len, use_rope):
@@ -476,7 +644,10 @@ def _bwd_short_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]      # [bq, 1]
-    delta = delta_ref[0, 0]  # [bq, 1]
+    # delta = rowsum(do ⊙ o) computed in-kernel (saves the host-side einsum
+    # pass over do/o that a separate delta input would need)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
 
     qc = q.astype(v.dtype)
     kc = k.astype(v.dtype)
@@ -519,14 +690,10 @@ def _backward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
     block_q = _short_block_q(lq, lkp, for_bwd=True)
     dh = d // 2
 
-    dof = do.astype(jnp.float32).reshape(b, lq, h, d)
-    of = o.astype(jnp.float32).reshape(b, lq, h, d)
-    delta = jnp.einsum("blhd,blhd->bhl", dof, of)[..., None]  # [b,h,lq,1]
-
     qp = _pad_dim(q, 1, block_q)
     dop = _pad_dim(do, 1, block_q)
+    op = _pad_dim(o, 1, block_q)
     lsep = _pad_dim(lse, 2, block_q)
-    deltap = _pad_dim(delta, 2, block_q)
     kp = _pad_dim(k, 1, lkp)
     vp = _pad_dim(v, 1, lkp)
     cqp, sqp, ckp, skp, tq, tk = _rope_dummies(
@@ -545,7 +712,7 @@ def _backward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
         functools.partial(_bwd_short_kernel, scale=scale, kv_len=lk,
                           use_rope=use_rope),
         grid=(b, h, nq),
-        in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
+        in_specs=[qspec, kspec, kspec, qspec, lspec, qspec,
                   cq_s, cq_s, ck_s, ck_s],
         out_specs=(qspec, kspec, kspec),
         out_shape=(
@@ -560,8 +727,13 @@ def _backward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * qp.shape[1] * lkp * d,
+            bytes_accessed=2 * b * h * (4 * qp.shape[1] + 4 * lkp) * d,
+            transcendentals=b * h * qp.shape[1] * lkp,
+        ),
         interpret=_interpret(),
-    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+    )(qp, kp, vp, dop, lsep, op, cqp, sqp, ckp, skp)
     return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
 

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from video_diffusion_speedrun_tpu.ops.pallas_utils import (
-    fit_block as _fit_block,
+    fit_block_div,
     interpret_mode as _interpret,
     pad_dim as _pad_dim,
 )
@@ -39,6 +39,37 @@ _INV_SQRT2PI = 0.3989422804014327
 # Abramowitz & Stegun 7.1.26 coefficients
 _AS_P = 0.3275911
 _AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+# Odd-Chebyshev minimax-style fits of Φ(x)-1/2 and gelu'(x)-1/2 on
+# |x| ≤ _POLY_R (clamped outside; both saturate): pure FMA chains — no
+# exp/reciprocal — for the bf16 path where |err| (≤4.8e-4 on Φ, ≤1.4e-3 on
+# gelu') sits below bf16 resolution. fp32 inputs use the A&S erf form.
+_POLY_R = 4.2
+_PHI_C = (1.6730854313132952, -4.819356366004858, 11.665324048457048,
+          -19.2571592112833, 20.043393683968894, -11.692634553213583,
+          2.887810706082727)
+_DGELU_C = (3.3437508389045996, -19.301024758068174, 71.6240707797499,
+            -169.03201824319132, 256.1130938463848, -239.9744046965949,
+            125.8564616128173, -28.13100148328976)
+
+
+def _odd_poly(coeffs, t):
+    t2 = t * t
+    acc = jnp.full_like(t, coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        acc = acc * t2 + c
+    return acc * t
+
+
+def _phi_poly(x):
+    """Φ(x) = 0.5 + odd-poly(clamp(x/R))."""
+    t = jnp.clip(x * (1.0 / _POLY_R), -1.0, 1.0)
+    return 0.5 + _odd_poly(_PHI_C, t)
+
+
+def _dgelu_poly(x):
+    t = jnp.clip(x * (1.0 / _POLY_R), -1.0, 1.0)
+    return 0.5 + _odd_poly(_DGELU_C, t)
 
 
 def _erf(u):
@@ -55,18 +86,19 @@ def _gelu_parts(x):
     return 0.5 * (1.0 + _erf(x * _INV_SQRT2))
 
 
-def _fwd_kernel(x_ref, b_ref, y_ref):
+def _fwd_kernel(x_ref, b_ref, y_ref, *, poly):
     x = x_ref[0].astype(jnp.float32)
     if b_ref is not None:
         x = x + b_ref[0].astype(jnp.float32)
-    y_ref[0] = (x * _gelu_parts(x)).astype(y_ref.dtype)
+    cdf = _phi_poly(x) if poly else _gelu_parts(x)
+    y_ref[0] = (x * cdf).astype(y_ref.dtype)
 
 
-def _fwd_kernel_nobias(x_ref, y_ref):
-    _fwd_kernel(x_ref, None, y_ref)
+def _fwd_kernel_nobias(x_ref, y_ref, *, poly):
+    _fwd_kernel(x_ref, None, y_ref, poly=poly)
 
 
-def _bwd_kernel(x_ref, b_ref, g_ref, dx_ref, db_ref, db_scr):
+def _bwd_kernel(x_ref, b_ref, g_ref, dx_ref, db_ref, db_scr, *, poly):
     li = pl.program_id(1)
     nl = pl.num_programs(1)
     has_bias = b_ref is not None
@@ -79,9 +111,12 @@ def _bwd_kernel(x_ref, b_ref, g_ref, dx_ref, db_ref, db_scr):
     if has_bias:
         x = x + b_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
-    cdf = _gelu_parts(x)
-    pdf = jnp.exp2(-(x * x) * (0.5 * _LOG2E)) * _INV_SQRT2PI
-    dx = g * (cdf + x * pdf)
+    if poly:
+        dg = _dgelu_poly(x)
+    else:
+        pdf = jnp.exp2(-(x * x) * (0.5 * _LOG2E)) * _INV_SQRT2PI
+        dg = _gelu_parts(x) + x * pdf
+    dx = g * dg
     dx_ref[0] = dx.astype(dx_ref.dtype)
     if has_bias:
         db_scr[:] += jnp.sum(dx, axis=0, keepdims=True)
@@ -91,8 +126,8 @@ def _bwd_kernel(x_ref, b_ref, g_ref, dx_ref, db_ref, db_scr):
             db_ref[0] = db_scr[:].astype(db_ref.dtype)
 
 
-def _bwd_kernel_nobias(x_ref, g_ref, dx_ref, db_scr):
-    _bwd_kernel(x_ref, None, g_ref, dx_ref, None, db_scr)
+def _bwd_kernel_nobias(x_ref, g_ref, dx_ref, db_scr, *, poly):
+    _bwd_kernel(x_ref, None, g_ref, dx_ref, None, db_scr, poly=poly)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -100,11 +135,11 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _block_l(l: int, f: int) -> int:
-    """16-aligned row block sized so ~3 fp32 copies of the tile fit 6 MB."""
+    """Divisor-aligned row block sized so ~3 fp32 copies of the tile fit 6 MB
+    (pad-free whenever L has a suitable divisor)."""
     budget = 6 * 1024 * 1024
     blk = max(16, (budget // (12 * f)) // 16 * 16)
-    nb = max(1, _cdiv(l, blk))
-    return _cdiv(_cdiv(l, nb), 16) * 16
+    return fit_block_div(l, blk)
 
 
 def _forward(x, bias):
@@ -114,11 +149,12 @@ def _forward(x, bias):
     nl = xp.shape[1] // blk
     xspec = pl.BlockSpec((1, blk, f), lambda b, li: (b, li, 0))
     in_specs, args = [xspec], [xp]
-    kern = _fwd_kernel_nobias
+    poly = x.dtype == jnp.bfloat16
+    kern = functools.partial(_fwd_kernel_nobias, poly=poly)
     if bias is not None:
         in_specs.append(pl.BlockSpec((1, 1, f), lambda b, li: (0, 0, 0)))
         args.append(bias.reshape(1, 1, f))
-        kern = _fwd_kernel
+        kern = functools.partial(_fwd_kernel, poly=poly)
     y = pl.pallas_call(
         kern,
         grid=(b, nl),
@@ -140,9 +176,10 @@ def _backward(x, bias, g):
     gp = _pad_dim(g, 1, blk)  # zero grad rows → zero dbias contributions
     nl = xp.shape[1] // blk
     xspec = pl.BlockSpec((1, blk, f), lambda b, li: (b, li, 0))
+    poly = x.dtype == jnp.bfloat16
     if bias is not None:
         outs = pl.pallas_call(
-            _bwd_kernel,
+            functools.partial(_bwd_kernel, poly=poly),
             grid=(b, nl),
             in_specs=[xspec, pl.BlockSpec((1, 1, f), lambda b, li: (0, 0, 0)),
                       xspec],
@@ -162,7 +199,7 @@ def _backward(x, bias, g):
         dx, db = outs
         return dx[:, :l], db.sum(axis=0).reshape(bias.shape).astype(bias.dtype)
     dx = pl.pallas_call(
-        _bwd_kernel_nobias,
+        functools.partial(_bwd_kernel_nobias, poly=poly),
         grid=(b, nl),
         in_specs=[xspec, xspec],
         out_specs=xspec,

@@ -32,3 +32,18 @@ def fit_block(length: int, block: int) -> int:
 def interpret_mode() -> bool:
     """Run kernels in the Pallas interpreter off-TPU (CPU tests)."""
     return jax.default_backend() != "tpu"
+
+
+def fit_block_div(length: int, max_block: int, align: int = 16) -> int:
+    """Pad-free row blocking: smallest split count nb with block = L/nb ≤
+    max_block, L % nb == 0 and block % align == 0 — so the grid tiles L
+    exactly (no `pad` op, no output slice copy). Falls back to the
+    minimal-padding `align`-aligned block when L has no suitable divisor."""
+    if length <= max_block and length % align == 0:
+        return length
+    for nb in range(max(1, cdiv(length, max_block)), min(length, 64) + 1):
+        if length % nb == 0 and (length // nb) % align == 0 \
+                and length // nb <= max_block:
+            return length // nb
+    nb = max(1, cdiv(length, max_block))
+    return cdiv(cdiv(length, nb), align) * align

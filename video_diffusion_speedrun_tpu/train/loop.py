@@ -250,9 +250,10 @@ class Trainer:
                     "train/diffusion_loss": loss,
                     "train/total_loss": loss,
                     "train/learning_rate_scale": float(m["lr_scale"]),
-                    "train/grad_norm": float(m["grad_norm"]),
                     "train/step": global_step,
                 }
+                if "grad_norm" in m:
+                    record["train/grad_norm"] = float(m["grad_norm"])
                 bins = np.asarray(m["bin_sums"]) / np.maximum(
                     np.asarray(m["bin_counts"]), 1)
                 for k in range(10):

@@ -10,6 +10,7 @@ step like torch LambdaLR.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -51,6 +52,61 @@ def mup_adamw(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def fused_apply(
+    tx_args: tuple,
+    grads: Any,
+    state: MupAdamWState,
+    params: Any,
+):
+    """One-pass muP-AdamW: returns (new_params, new_state) directly, never
+    materializing an update tree. Per leaf XLA fuses read(g, m, v, p) →
+    write(m, v, p) into a single loop — the TPU analog of the reference's
+    fused-CUDA AdamW (`train.py:340-344`). Numerically identical to
+    `mup_adamw`'s update + optax.apply_updates (same op order); equality is
+    asserted in tests/test_train_step.py.
+    """
+    lr_tree, wd_tree, schedule_fn, b1, b2, eps = tx_args
+    count = state.adam.count + 1
+    bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+    bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+    lr_t = schedule_fn(state.count)
+    # Pallas per-leaf AdamW measured net-slower than XLA's own per-leaf
+    # fusions on the canonical config (93.4 vs 90.8 ms/step: ~25 serialized
+    # pallas dispatches lose to XLA's overlap) — opt-in only.
+    use_pallas = os.environ.get("VDS_PALLAS_ADAMW", "0") == "1"
+
+    def leaf(g, m, v, p, lr, wd):
+        if use_pallas:
+            from video_diffusion_speedrun_tpu.ops.fused_adamw import (
+                adamw_leaf_update,
+            )
+
+            out = adamw_leaf_update(p, m, v, g, lr, wd, lr_t, bc1,
+                                    bc2, b1, b2, eps)
+            if out is not None:
+                return out
+        g = g.astype(m.dtype)
+        m2 = b1 * m + (1.0 - b1) * g
+        v2 = b2 * v + (1.0 - b2) * jnp.square(g)
+        # optax scale_by_adam order: (m/bc1) / (sqrt(v/bc2) + eps)
+        direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+        p2 = p + (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
+        return p2, m2, v2
+
+    out = jax.tree.map(leaf, grads, state.adam.mu, state.adam.nu, params,
+                       lr_tree, wd_tree)
+    treedef = jax.tree.structure(params)
+    leaves = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
+    new_p = jax.tree.unflatten(treedef, [l[0] for l in leaves])
+    new_m = jax.tree.unflatten(treedef, [l[1] for l in leaves])
+    new_v = jax.tree.unflatten(treedef, [l[2] for l in leaves])
+    new_state = MupAdamWState(
+        count=state.count + 1,
+        adam=optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v),
+    )
+    return new_p, new_state
+
+
 def build_optimizer(
     params: Any,
     learning_rate: float,
@@ -65,4 +121,5 @@ def build_optimizer(
     )
     schedule = get_schedule(cfg.scheduler, cfg.warmup_steps, max_steps)
     tx = mup_adamw(lr_tree, wd_tree, schedule, cfg.beta1, cfg.beta2, cfg.eps)
-    return tx, settings, schedule
+    tx_args = (lr_tree, wd_tree, schedule, cfg.beta1, cfg.beta2, cfg.eps)
+    return tx, settings, schedule, tx_args

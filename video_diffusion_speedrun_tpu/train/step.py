@@ -26,7 +26,11 @@ from video_diffusion_speedrun_tpu.parallel.mesh import (
     token_pspec,
 )
 from video_diffusion_speedrun_tpu.train.loss import rectified_flow_loss
-from video_diffusion_speedrun_tpu.train.optim import MupAdamWState, build_optimizer
+from video_diffusion_speedrun_tpu.train.optim import (
+    MupAdamWState,
+    build_optimizer,
+    fused_apply,
+)
 
 
 class TrainState(NamedTuple):
@@ -104,7 +108,7 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
 
     # Build optimizer against abstract params (shapes only).
     params_shape = jax.eval_shape(_make_params, jax.random.PRNGKey(0))
-    tx, settings, schedule = build_optimizer(
+    tx, settings, schedule, tx_args = build_optimizer(
         params_shape, cfg.optimizer.learning_rate, cfg.max_steps, cfg.optimizer
     )
 
@@ -145,17 +149,19 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
         # resume-exact, and no host-side key splitting in the hot loop
         rng = jax.random.fold_in(base_rng, state.step)
         (loss, aux), grads = _grads(state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        # one-pass fused muP-AdamW (≡ tx.update + apply_updates; see optim.py)
+        params, opt_state = fused_apply(tx_args, grads, state.opt_state,
+                                        state.params)
         new_state = TrainState(params, opt_state, state.step + 1)
         metrics = {
             "loss": loss,
             "diffusion_loss": loss,
             "lr_scale": schedule(state.step),
-            "grad_norm": optax.global_norm(grads),
             "bin_sums": aux["bin_sums"],
             "bin_counts": aux["bin_counts"],
         }
+        if cfg.log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     train_step = jax.jit(

@@ -372,3 +372,60 @@ class TestLatentDatasetOffline:
         ds_mod = self._fake_hf(monkeypatch)
         with pytest.raises(ValueError, match="unknown split"):
             ds_mod.LatentDataset(split="validation")
+
+
+class TestCoordinatedBucketing:
+    """Multi-host shape coordination: every simulated host must emit the
+    same latent-shape sequence (the SPMD requirement; VERDICT r1 item 7)."""
+
+    def _host_stream(self, host, num_hosts, n_batches=12, batch=4, seed=7):
+        from video_diffusion_speedrun_tpu.data.loader import (
+            CoordinatedShapeBucketingCollate,
+            ShardedSampler,
+        )
+        from video_diffusion_speedrun_tpu.data.synthetic import (
+            SyntheticLatentDataset,
+        )
+
+        ds = SyntheticLatentDataset(
+            num_rows=2048, latent_shape=(4, 5, 8, 8), seed=3,
+            t_choices=(5, 9, 17),
+        )
+        collate = CoordinatedShapeBucketingCollate(
+            batch, ds.latent_shapes(), seed=seed)
+        sampler = ShardedSampler(len(ds), batch, host, num_hosts, seed=1)
+        shapes = []
+        for idx_batch in sampler.epoch(0):
+            rows = [ds[i] for i in idx_batch]
+            out = collate(rows)
+            if out is not None:
+                shapes.append(tuple(out["latent"].shape))
+                if len(shapes) >= n_batches:
+                    break
+        return shapes
+
+    def test_hosts_emit_identical_shape_sequences(self):
+        seqs = [self._host_stream(h, 4) for h in range(4)]
+        assert len(seqs[0]) == 12
+        for s in seqs[1:]:
+            assert s == seqs[0]
+        # multiple distinct shapes actually appear
+        assert len({s[2] for s in seqs[0]}) > 1
+
+    def test_batches_are_shape_uniform(self):
+        shapes = self._host_stream(0, 2, n_batches=8)
+        for s in shapes:
+            assert s[0] == 4  # full batch of the scheduled shape
+
+    def test_rejects_undeclared_shape(self):
+        import numpy as np
+        import pytest
+
+        from video_diffusion_speedrun_tpu.data.loader import (
+            CoordinatedShapeBucketingCollate,
+        )
+
+        collate = CoordinatedShapeBucketingCollate(2, [(4, 5, 8, 8)])
+        bad = {"latent": np.zeros((4, 7, 8, 8), np.float32), "caption": "x"}
+        with pytest.raises(ValueError):
+            collate([bad])

@@ -197,3 +197,42 @@ class TestContextParallelFused:
         )(params, x, ctx, ts)
         np.testing.assert_allclose(np.asarray(cp), np.asarray(plain),
                                    atol=1e-4, rtol=1e-3)
+
+    def test_cp_ring_ragged_length(self):
+        """Ring CP with token count NOT divisible by the context axis —
+        padded + masked by the traveling kv-bias (round-1 VERDICT item 6)."""
+        from video_diffusion_speedrun_tpu.core.config import MeshConfig
+        from video_diffusion_speedrun_tpu.ops.fused_attention import (
+            cp_rope_flash_attention,
+        )
+        from video_diffusion_speedrun_tpu.parallel.mesh import (
+            build_mesh, token_pspec,
+        )
+        from jax.sharding import NamedSharding
+
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=2, context=4, tensor=1))
+        tok_shd = NamedSharding(mesh, token_pspec())
+
+        b, l, h, d = 2, 52, 2, 16  # 52 % 4 != 0 and 52 % 16 != 0
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (b, l, h * d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, l, h * d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, l, h * d), jnp.float32)
+        cos, sin = rope_cos_sin(d, 4, 4, 4, jnp.zeros(3, jnp.int32))
+        cos, sin = cos[:l], sin[:l]
+
+        def loss_cp(q, k, v):
+            out = cp_rope_flash_attention(q, k, v, cos, sin, h, tok_shd)
+            return jnp.sum(out ** 2)
+
+        def loss_plain(q, k, v):
+            return jnp.sum(_reference(q, k, v, cos, sin, h) ** 2)
+
+        lc, gc = jax.jit(jax.value_and_grad(loss_cp, argnums=(0, 1, 2)))(
+            q, k, v)
+        lp, gp = jax.value_and_grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(lc), float(lp), rtol=1e-5)
+        for name, a, b2 in zip("qkv", gc, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=1e-4, rtol=1e-3,
+                                       err_msg=f"d{name}")

@@ -105,6 +105,57 @@ class ShapeBucketingCollate:
         return default_collate(batch_rows)
 
 
+class CoordinatedShapeBucketingCollate:
+    """Multi-host-safe bucketing: all hosts follow the same seeded shape
+    schedule, so every host emits a batch of the SAME latent shape at every
+    global step — the SPMD requirement the per-host opportunistic
+    `ShapeBucketingCollate` cannot give (hosts would pick different buckets
+    and desync the compiled program).
+
+    The schedule draws shape s_t ~ probs from a shared `seed`; each host
+    buffers incoming rows per shape and emits only when the scheduled
+    shape's bucket is full, then advances the schedule. With row shapes
+    i.i.d. across hosts (the sampler hands each host a random disjoint
+    slice), buffering stays O(batch · num_shapes) in expectation."""
+
+    def __init__(self, batch_size: int, shapes, seed: int = 0, probs=None):
+        self.batch_size = batch_size
+        self.shapes = [tuple(s) for s in shapes]
+        if probs is None:
+            probs = [1.0 / len(self.shapes)] * len(self.shapes)
+        self.probs = np.asarray(probs, dtype=np.float64)
+        self.probs /= self.probs.sum()
+        self._rng = np.random.default_rng(seed)  # identical on every host
+        self._target = None
+        self._buckets: Dict[tuple, list] = {}
+
+    def _draw(self):
+        return self.shapes[int(self._rng.choice(len(self.shapes),
+                                                p=self.probs))]
+
+    def __call__(self, rows: Sequence[Dict]) -> Optional[Dict[str, Any]]:
+        for r in rows:
+            shape = tuple(r["latent"].shape)
+            if shape not in self._buckets:
+                if shape not in self.shapes:
+                    raise ValueError(
+                        f"row shape {shape} not in the declared shape set "
+                        f"{self.shapes} — the coordinated schedule cannot "
+                        "include it"
+                    )
+                self._buckets[shape] = []
+            self._buckets[shape].append(r)
+        if self._target is None:
+            self._target = self._draw()
+        bucket = self._buckets.get(self._target, [])
+        if len(bucket) < self.batch_size:
+            return None
+        batch_rows = bucket[: self.batch_size]
+        self._buckets[self._target] = bucket[self.batch_size:]
+        self._target = self._draw()
+        return default_collate(batch_rows)
+
+
 class DataLoader:
     """Threaded look-ahead loader over (dataset, sampler)."""
 

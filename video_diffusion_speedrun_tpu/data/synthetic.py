@@ -37,6 +37,14 @@ class SyntheticLatentDataset:
     def __len__(self) -> int:
         return self.num_rows
 
+    def latent_shapes(self):
+        """All latent shapes this dataset can emit (for the coordinated
+        shape schedule on multi-host runs)."""
+        if not self.t_choices:
+            return [tuple(self.latent_shape)]
+        c, _, h, w = self.latent_shape
+        return [(c, t, h, w) for t in sorted(set(self.t_choices))]
+
     def __getitem__(self, idx: int) -> Dict:
         if not 0 <= idx < self.num_rows:
             raise IndexError(idx)

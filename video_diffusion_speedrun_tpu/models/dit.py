@@ -141,12 +141,18 @@ def init_dit(key, cfg: DiTConfig, init_std_factor: float = 1.0,
             (1, cfg.max_tokens_no_rope, d), jnp.float32
         )
 
+    def _cast(tree):
+        if dtype is None:
+            return tree
+        return jax.tree.map(lambda x: x.astype(dtype), tree)
+
+    # cast INSIDE the vmapped program: XLA fuses generation+cast so the fp32
+    # intermediates never materialize in HBM — at multi-B params the
+    # cast-after-stack peak (fp32 tree + bf16 copy) alone OOMs a 16 GB chip
     params["blocks"] = jax.vmap(
-        lambda k: init_block(k, cfg, std_factor=init_std_factor)
+        lambda k: _cast(init_block(k, cfg, std_factor=init_std_factor))
     )(keys[6:])
-    if dtype is not None:
-        params = jax.tree.map(lambda x: x.astype(dtype), params)
-    return params
+    return {k: (_cast(v) if k != "blocks" else v) for k, v in params.items()}
 
 
 def param_count(params: Params) -> int:

@@ -38,6 +38,14 @@ from video_diffusion_speedrun_tpu.ops.pallas_utils import (
 DEFAULT_BLOCK_L = 512
 
 
+def _auto_block(l: int, d: int, for_bwd: bool, cap: int) -> int:
+    """Row block sized to the feature width: the backward holds ~5 fp32
+    row-copies of the tile (xf, g, n, dn, dx), the forward ~3."""
+    per_row = (20 if for_bwd else 12) * d
+    budget = 6 * 1024 * 1024
+    return _fit_block(l, min(cap, max(16, budget // per_row)))
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -59,7 +67,7 @@ def _fwd_kernel_nogamma(x_ref, shift_ref, scale_ref, y_ref, *, eps):
 
 def _forward(x, shift, scale, gamma, eps, block_l):
     b, l, d = x.shape
-    block_l = _fit_block(l, block_l)
+    block_l = _auto_block(l, d, False, block_l)
     xp = _pad_dim(x, 1, block_l)
     nl = xp.shape[1] // block_l
 
@@ -147,7 +155,7 @@ def _bwd_kernel_nogamma(x_ref, shift_ref, scale_ref, g_ref,
 
 def _backward(x, shift, scale, gamma, g, eps, block_l):
     b, l, d = x.shape
-    block_l = _fit_block(l, block_l)
+    block_l = _auto_block(l, d, True, block_l)
     xp = _pad_dim(x, 1, block_l)
     gp = _pad_dim(g, 1, block_l)  # zero-padded grad rows contribute zero sums
     nl = xp.shape[1] // block_l
@@ -272,7 +280,7 @@ def _gr_fwd_kernel_nogamma(x_ref, d_ref, gate_ref, shift_ref, scale_ref,
 
 def _gr_forward(x, delta, gate, shift, scale, gamma, eps, block_l):
     b, l, d = x.shape
-    block_l = _fit_block(l, block_l)
+    block_l = _auto_block(l, d, False, block_l)
     xp = _pad_dim(x, 1, block_l)
     dp = _pad_dim(delta, 1, block_l)
     nl = xp.shape[1] // block_l
@@ -370,7 +378,7 @@ def _gr_bwd_kernel_nogamma(xn_ref, d_ref, gate_ref, scale_ref,
 
 def _gr_backward(xn, delta, gate, scale, gamma, gx, gy, eps, block_l):
     b, l, d = xn.shape
-    block_l = _fit_block(l, block_l)
+    block_l = _auto_block(l, d, True, block_l)
     xnp = _pad_dim(xn, 1, block_l)
     dp = _pad_dim(delta, 1, block_l)
     gxp = _pad_dim(gx, 1, block_l)

@@ -27,6 +27,7 @@ import numpy as np
 
 from video_diffusion_speedrun_tpu.core.config import TrainConfig
 from video_diffusion_speedrun_tpu.data.loader import (
+    CoordinatedShapeBucketingCollate,
     DataLoader,
     ShapeBucketingCollate,
     ShardedSampler,
@@ -108,14 +109,20 @@ class Trainer:
         )
         collate = default_collate
         if dcfg.bucket_by_shape and split == "train":
-            if jax.process_count() > 1:
-                # per-host bucketing desyncs SPMD (hosts would emit batches
-                # of different shapes/counts); needs a globally coordinated
-                # shape schedule — see NOTES.md
+            shapes = getattr(ds, "latent_shapes", lambda: None)()
+            if shapes is not None:
+                # same seeded shape schedule on every host → every host
+                # emits the same latent shape at every global step (SPMD-safe
+                # on multi-host pods)
+                collate = CoordinatedShapeBucketingCollate(
+                    per_host, shapes, seed=dcfg.shuffle_seed + 101)
+            elif jax.process_count() > 1:
                 raise NotImplementedError(
-                    "bucket_by_shape is single-host only for now"
+                    "bucket_by_shape on multi-host needs the dataset to "
+                    "declare latent_shapes() for the coordinated schedule"
                 )
-            collate = ShapeBucketingCollate(per_host)
+            else:
+                collate = ShapeBucketingCollate(per_host)
         loader = DataLoader(
             ds, sampler, collate=collate,
             num_workers=dcfg.num_workers, prefetch=dcfg.prefetch,

@@ -14,7 +14,6 @@ Usage:
   python scripts/convert_cosmos.py convert pretrained_ckpts/.../decoder.jit out.npz
 """
 
-import re
 import sys
 
 sys.path.insert(0, ".")
@@ -24,81 +23,73 @@ def load_state_dict(jit_path):
     import torch
 
     module = torch.jit.load(jit_path, map_location="cpu")
-    return {k: v for k, v in module.state_dict().items()}
+    # TorchScript archives may prefix the wrapped module name
+    sd = {}
+    for k, v in module.state_dict().items():
+        for pre in ("_orig_mod.", "module."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+    return sd
 
 
-def inspect(jit_path):
+def inspect(jit_path, diff=False):
     sd = load_state_dict(jit_path)
-    for k, v in sd.items():
-        print(f"{k:70s} {tuple(v.shape)} {v.dtype}")
-    print(f"total: {len(sd)} tensors, "
-          f"{sum(v.numel() for v in sd.values())/1e6:.1f}M params")
+    if not diff:
+        for k, v in sd.items():
+            print(f"{k:70s} {tuple(v.shape)} {v.dtype}")
+        print(f"total: {len(sd)} tensors, "
+              f"{sum(v.numel() for v in sd.values())/1e6:.1f}M params")
+        return
+    from video_diffusion_speedrun_tpu.models.cosmos_layer_map import (
+        expected_map,
+    )
 
-
-# name normalization: strip common TorchScript prefixes and the reference's
-# wrapper module names so the mapping below keys on the architectural path
-_STRIP = ("decoder.", "_orig_mod.", "module.")
-
-
-def _norm(name: str) -> str:
-    for s in _STRIP:
-        name = name.replace(s, "")
-    return name
+    exp = expected_map()
+    want = {e["torch"]: tuple(e["torch_shape"]) for e in exp.values()}
+    have = {k: tuple(v.shape) for k, v in sd.items()}
+    ok = {k for k in want if have.get(k) == want[k]}
+    print(f"matched: {len(ok)}/{len(want)}")
+    for k in sorted(set(want) - ok):
+        print(f"  expected {k} {want[k]} — checkpoint has "
+              f"{have.get(k, '<absent>')}")
+    extra = sorted(set(have) - set(want))
+    if extra:
+        print("checkpoint-only tensors:")
+        for k in extra:
+            print(f"  {k} {have[k]}")
 
 
 def convert(jit_path, out_path):
+    """Pinned-map conversion: every leaf must match the expected torch name
+    AND shape (cosmos_layer_map.expected_map) or the conversion fails with
+    an exact diff — no fuzzy candidate search."""
     import numpy as np
 
-    from video_diffusion_speedrun_tpu.models.cosmos_vae import (
-        CosmosDecoderConfig, init_cosmos_decoder,
+    from video_diffusion_speedrun_tpu.models.cosmos_layer_map import (
+        expected_map, from_torch,
     )
-    import jax
 
-    sd = {_norm(k): v.float().numpy() for k, v in load_state_dict(jit_path).items()}
-    cfg = CosmosDecoderConfig()
-    template = init_cosmos_decoder(jax.random.PRNGKey(0), cfg)
+    sd = {k: v.float().numpy() for k, v in load_state_dict(jit_path).items()}
+    exp = expected_map()
 
-    # flatten our tree with dotted paths
-    flat = jax.tree_util.tree_flatten_with_path(template)[0]
-    ours = {}
-    for path, leaf in flat:
-        keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
-        ours[".".join(keys)] = leaf
-
-    # candidate source name for each of our leaves (best-effort; refine once
-    # `inspect` output is known)
-    def candidates(name):
-        base = (name
-                .replace(".w", ".weight").replace(".b", ".bias")
-                .replace("scale", "weight"))
-        yield base
-        yield re.sub(r"up\.(\d+)\.blocks\.(\d+)", r"up.\1.block.\2", base)
-        yield re.sub(r"up\.(\d+)\.upsample", r"up.\1.upsample.conv", base)
-        yield base.replace("mid.attn_spatial", "mid.attn_1")
-        yield base.replace("mid.attn_temporal", "mid.attn_1_temporal")
-
-    converted, missing = {}, []
-    for name, leaf in ours.items():
-        found = None
-        for cand in candidates(name):
-            if cand in sd:
-                found = sd[cand]
-                break
-        if found is None:
-            missing.append(name)
+    converted, problems = {}, []
+    for ours, e in exp.items():
+        src = sd.get(e["torch"])
+        if src is None:
+            problems.append(f"missing in checkpoint: {e['torch']} (for {ours})")
             continue
-        arr = found
-        if arr.ndim == 5:  # torch conv3d [O, I, kt, kh, kw] → [kt, kh, kw, I, O]
-            arr = arr.transpose(2, 3, 4, 1, 0)
-        if arr.shape != leaf.shape:
-            missing.append(f"{name} (shape {arr.shape} vs {leaf.shape})")
+        if list(src.shape) != e["torch_shape"]:
+            problems.append(
+                f"shape mismatch {e['torch']}: checkpoint {list(src.shape)} "
+                f"vs expected {e['torch_shape']}")
             continue
-        converted[name] = arr
+        converted[ours] = from_torch(src)
 
-    print(f"matched {len(converted)}/{len(ours)} leaves")
-    if missing:
-        print("UNMATCHED (fix the candidates() mapping using `inspect`):")
-        for m in missing[:40]:
+    print(f"matched {len(converted)}/{len(exp)} leaves")
+    if problems:
+        print("CONVERSION FAILED — run `inspect --diff` for the full map:")
+        for m in problems[:40]:
             print("  ", m)
         sys.exit(1)
     np.savez(out_path, **converted)
@@ -106,9 +97,9 @@ def convert(jit_path, out_path):
 
 
 if __name__ == "__main__":
-    cmd = sys.argv[1]
+    cmd = sys.argv[1] if len(sys.argv) > 1 else ""
     if cmd == "inspect":
-        inspect(sys.argv[2])
+        inspect(sys.argv[2], diff="--diff" in sys.argv)
     elif cmd == "convert":
         convert(sys.argv[2], sys.argv[3])
     else:

@@ -111,3 +111,63 @@ class TestPromptEncoder:
         assert len(emb.sharding.device_set) == 8
         out = enc.encode_ids(jnp.zeros((2, 8), jnp.int32))
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestXXLShape:
+    """Round-1 VERDICT item 5: exercise the XXL configuration at true widths
+    (d_model 4096 / d_ff 10240 / 64 heads) — the regime `utils.py:83-110`
+    runs — not just the tiny parity config."""
+
+    def test_conversion_from_xxl_shaped_checkpoint(self):
+        """State-dict conversion against a synthetically constructed
+        XXL-shaped torch-layout checkpoint (1 layer, true widths)."""
+        cfg = T5Config(num_layers=1, compute_dtype=jnp.bfloat16)
+        d, dff, nh, dkv = cfg.d_model, cfg.d_ff, cfg.num_heads, cfg.d_kv
+        rng = np.random.default_rng(0)
+        qw = rng.standard_normal((nh * dkv, d)).astype(np.float32)
+        sd = {
+            "shared.weight": np.zeros((cfg.vocab_size, d), np.float32),
+            "encoder.final_layer_norm.weight": np.ones((d,), np.float32),
+            "encoder.block.0.layer.0.layer_norm.weight": np.ones((d,), np.float32),
+            "encoder.block.0.layer.0.SelfAttention.q.weight": qw,
+            "encoder.block.0.layer.0.SelfAttention.k.weight": np.zeros((nh * dkv, d), np.float32),
+            "encoder.block.0.layer.0.SelfAttention.v.weight": np.zeros((nh * dkv, d), np.float32),
+            "encoder.block.0.layer.0.SelfAttention.o.weight": np.zeros((d, nh * dkv), np.float32),
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+                np.zeros((cfg.relative_attention_num_buckets, cfg.num_heads), np.float32),
+            "encoder.block.0.layer.1.layer_norm.weight": np.ones((d,), np.float32),
+            "encoder.block.0.layer.1.DenseReluDense.wi_0.weight": np.zeros((dff, d), np.float32),
+            "encoder.block.0.layer.1.DenseReluDense.wi_1.weight": np.zeros((dff, d), np.float32),
+            "encoder.block.0.layer.1.DenseReluDense.wo.weight": np.zeros((d, dff), np.float32),
+        }
+        params = convert_torch_t5(sd, cfg)
+        want = jax.eval_shape(lambda: init_t5(jax.random.PRNGKey(0), cfg))
+        got_shapes = jax.tree.map(lambda x: tuple(x.shape), params)
+        want_shapes = jax.tree.map(lambda x: tuple(x.shape), want)
+        assert got_shapes == want_shapes
+        # torch [out, in] transposed to [in, out]
+        np.testing.assert_array_equal(np.asarray(params["blocks"][0]["q"]),
+                                      qw.T)
+
+    def test_sharded_encode_true_widths(self):
+        """True-width (2-layer) encoder sharded over the 8-device mesh via
+        shard_params: big matrices must actually shard (validating the
+        4.7B HBM plan) and the jitted encode must run."""
+        from video_diffusion_speedrun_tpu.core.config import MeshConfig
+        from video_diffusion_speedrun_tpu.parallel.fsdp import shard_params
+        from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
+
+        cfg = T5Config(num_layers=2, compute_dtype=jnp.bfloat16)
+        params = init_t5(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=8))
+        params = shard_params(params, mesh)
+        wi0 = params["blocks"][0]["wi_0"]
+        shard_frac = (wi0.addressable_shards[0].data.size / wi0.size)
+        assert shard_frac <= 1 / 8 + 1e-9, shard_frac
+
+        ids = jnp.zeros((2, 512), jnp.int32)
+        out = jax.jit(
+            lambda p, i: encode(p, cfg, i, return_index=-1)
+        )(params, ids)
+        assert out.shape == (2, 512, cfg.d_model)
+        assert bool(jnp.isfinite(out.astype(jnp.float32)).all())

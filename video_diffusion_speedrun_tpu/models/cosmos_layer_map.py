@@ -1,0 +1,112 @@
+"""Pinned layer map: JAX decoder leaves ↔ Cosmos-Tokenizer state-dict names.
+
+The reference decodes with NVIDIA's TorchScript `decoder.jit`
+(`/root/reference/sampling/decoder.py:20-30`). Its state dict follows the
+public Cosmos-Tokenizer module structure (ldm-style decoder with
+CausalConv3d wrapping an inner `conv3d`, GroupNorms, a two-stage
+spatial+temporal bottleneck attention, and reversed up-level indexing).
+This module pins ONE deterministic name mapping per parameter — replacing
+the fuzzy candidate search the round-1 converter used — so that
+`scripts/convert_cosmos.py convert` either matches 100% of leaves or fails
+loudly with an exact diff (`inspect --diff`).
+
+The checkpoint itself is unfetchable in this zero-egress environment; the
+map is derived from the public Cosmos-Tokenizer source layout and is
+regression-pinned by tests/fixtures/cosmos_decoder_layer_map.json. If the
+real `decoder.jit` disagrees, `inspect --diff <jit>` prints both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+from video_diffusion_speedrun_tpu.models.cosmos_vae import (
+    CosmosDecoderConfig,
+    init_cosmos_decoder,
+)
+
+# our leaf suffix → torch parameter suffix, per module kind
+_CONV_SUFFIX = {"w": "conv3d.weight", "b": "conv3d.bias"}
+_NORM_SUFFIX = {"scale": "weight", "bias": "bias"}
+# our attention projection names → Cosmos names
+_ATTN_PROJ = {"q": "q", "k": "k", "v": "v", "proj": "proj_out"}
+
+
+def _flatten(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, f"{prefix}.{k}" if prefix else k)
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            yield from _flatten(v, f"{prefix}.{i}")
+    else:
+        yield prefix, tree
+
+
+def torch_name(our: str, n_up_levels: int) -> str:
+    """Deterministic torch state-dict name for one of our leaf paths."""
+    parts = our.split(".")
+
+    # up-level renumbering: ours lists deepest-first (processing order);
+    # the torch decoder indexes up[0] = shallowest and iterates reversed
+    if parts[0] == "up":
+        level = int(parts[1])
+        parts[1] = str(n_up_levels - 1 - level)
+        if parts[2] == "blocks":
+            parts[2] = "block"
+        if parts[2] == "upsample":
+            # CausalUpsample3d holds one CausalConv3d named `conv`
+            pass
+
+    # bottleneck attention: nn.Sequential(spatial, temporal) = attn_1.{0,1}
+    if len(parts) >= 2 and parts[0] == "mid":
+        if parts[1] == "attn_spatial":
+            parts[1] = "attn_1.0"
+        elif parts[1] == "attn_temporal":
+            parts[1] = "attn_1.1"
+        if parts[1].startswith("attn_1") and parts[2] in _ATTN_PROJ:
+            parts[2] = _ATTN_PROJ[parts[2]]
+
+    leaf = parts[-1]
+    mod = parts[-2] if len(parts) >= 2 else ""
+    if leaf in _CONV_SUFFIX and not mod.startswith("norm"):
+        parts[-1] = _CONV_SUFFIX[leaf]
+    elif leaf in _NORM_SUFFIX:
+        parts[-1] = _NORM_SUFFIX[leaf]
+    return "decoder." + ".".join(parts)
+
+
+def torch_shape(our_leaf_shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Expected torch shape for one of our leaves (conv weights transpose
+    [kt, kh, kw, I, O] → torch [O, I, kt, kh, kw])."""
+    if len(our_leaf_shape) == 5:
+        kt, kh, kw, ci, co = our_leaf_shape
+        return (co, ci, kt, kh, kw)
+    return tuple(our_leaf_shape)
+
+
+def from_torch(arr: np.ndarray) -> np.ndarray:
+    """torch tensor layout → our layout."""
+    if arr.ndim == 5:
+        return arr.transpose(2, 3, 4, 1, 0)
+    return arr
+
+
+def expected_map(cfg: CosmosDecoderConfig = CosmosDecoderConfig()
+                 ) -> Dict[str, Dict]:
+    """{our_leaf_path: {"torch": name, "torch_shape": [...], "ours": [...]}}
+    for every parameter of the decoder."""
+    template = jax.eval_shape(
+        lambda: init_cosmos_decoder(jax.random.PRNGKey(0), cfg))
+    n_up = len(cfg.channels_mult)
+    out = {}
+    for path, leaf in _flatten(template):
+        out[path] = {
+            "torch": torch_name(path, n_up),
+            "torch_shape": list(torch_shape(tuple(leaf.shape))),
+            "ours": list(leaf.shape),
+        }
+    return out

@@ -208,37 +208,40 @@ def convert_torch_t5(state_dict: Dict[str, Any], cfg: T5Config) -> Dict:
     return p
 
 
-def init_t5(rng: jax.Array, cfg: T5Config) -> Dict:
-    """Random init (tests / offline use; real weights come from conversion)."""
+def init_t5(rng: jax.Array, cfg: T5Config, dtype=jnp.float32) -> Dict:
+    """Random init (tests / offline use; real weights come from conversion).
+    `dtype` casts each leaf at creation — at XXL scale (4.7B) an fp32 tree
+    is 18.8 GB, past one v5e's HBM; bf16 leaves stream in at 9.4 GB."""
     keys = jax.random.split(rng, 2 + cfg.num_layers)
     d, dkv, nh, dff = cfg.d_model, cfg.d_kv, cfg.num_heads, cfg.d_ff
 
     def norm(k, fan_in, fan_out, scale=1.0):
-        return jax.random.normal(k, (fan_in, fan_out), jnp.float32) * (
+        return (jax.random.normal(k, (fan_in, fan_out), jnp.float32) * (
             scale / np.sqrt(fan_in)
-        )
+        )).astype(dtype)
 
     p = {
-        "embed": jax.random.normal(keys[0], (cfg.vocab_size, d), jnp.float32),
-        "final_ln": jnp.ones((d,), jnp.float32),
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, d),
+                                   jnp.float32).astype(dtype),
+        "final_ln": jnp.ones((d,), dtype),
         "blocks": [],
     }
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[2 + i], 8)
         blk = {
-            "ln1": jnp.ones((d,), jnp.float32),
+            "ln1": jnp.ones((d,), dtype),
             "q": norm(ks[0], d, nh * dkv),
             "k": norm(ks[1], d, nh * dkv),
             "v": norm(ks[2], d, nh * dkv),
             "o": norm(ks[3], nh * dkv, d),
-            "ln2": jnp.ones((d,), jnp.float32),
+            "ln2": jnp.ones((d,), dtype),
             "wo": norm(ks[6], dff, d),
         }
         if i == 0:
             blk["relative_attention_bias"] = (
                 jax.random.normal(ks[7], (cfg.relative_attention_num_buckets, nh))
                 * 0.1
-            )
+            ).astype(dtype)
         if cfg.feed_forward_proj == "gated-gelu":
             blk["wi_0"] = norm(ks[4], d, dff)
             blk["wi_1"] = norm(ks[5], d, dff)

@@ -56,8 +56,15 @@ class Trainer:
         self.mesh = build_mesh(cfg.mesh)
         self.prompt_encoder = prompt_encoder
 
+        # synthetic runs without a prompt encoder draw the context on-device
+        # inside the step (kills the 32 MB/step host transfer, round-1
+        # PERFORMANCE.md "Production loop")
+        self.device_context = (
+            cfg.data.dataset == "synthetic" and prompt_encoder is None
+        )
         (self.init_fn, self.train_step, self.eval_step, self.mup_settings
-         ) = build_train_step(cfg, self.mesh)
+         ) = build_train_step(cfg, self.mesh,
+                              device_context=self.device_context)
 
         self.state = self.init_fn(jax.random.PRNGKey(cfg.seed))
         n_params = param_count(self.state.params)
@@ -136,7 +143,6 @@ class Trainer:
     def _encode_stream(self, batches: Iterator[Dict]) -> Iterator[Dict]:
         """Attach `context`: precomputed > T5-encoded captions > synthetic."""
         dcfg = self.cfg.data
-        rng = np.random.default_rng(self.cfg.seed + 17)
         for batch in batches:
             if "context" not in batch:
                 if self.prompt_encoder is not None:
@@ -144,12 +150,10 @@ class Trainer:
                         batch["caption"], return_index=self.cfg.t5_return_index
                     )
                     batch["context"] = np.asarray(emb.astype(jnp.float32))
-                else:
-                    b = batch["latent"].shape[0]
-                    batch["context"] = (
-                        rng.standard_normal(
-                            (b, dcfg.caption_tokens, dcfg.context_dim)
-                        ).astype(np.float32) * 0.05
+                elif not self.device_context:
+                    raise RuntimeError(
+                        "no context source: dataset rows carry no context, "
+                        "no prompt encoder, and on-device synthesis is off"
                     )
             yield batch
 
@@ -197,9 +201,10 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.seed + 1000)  # fixed eval seed
         for idx, batch in enumerate(self._loader("test")):
             rng, sub = jax.random.split(rng)
-            m = self.eval_step(self.state.params,
-                               {k: batch[k] for k in ("latent", "context")},
-                               sub)
+            m = self.eval_step(
+                self.state.params,
+                {k: batch[k] for k in ("latent", "context") if k in batch},
+                sub)
             losses.append(float(m["loss"]))
             bin_sums += np.asarray(m["bin_sums"])
             bin_counts += np.asarray(m["bin_counts"])
@@ -224,8 +229,9 @@ class Trainer:
         ts = sample_timesteps(t_rng, b, self.cfg.time_shift_alpha)
         np.save(f"test_data/vae_latent_{step}.npy",
                 np.asarray(batch["latent"], np.float32))
-        np.save(f"test_data/caption_encoded_{step}.npy",
-                np.asarray(batch["context"], np.float32))
+        if "context" in batch:
+            np.save(f"test_data/caption_encoded_{step}.npy",
+                    np.asarray(batch["context"], np.float32))
         np.save(f"test_data/timesteps_{step}.npy", np.asarray(ts))
 
     # ----------------------------------------------------------------- train
@@ -246,7 +252,8 @@ class Trainer:
                 self._capture_fixtures(
                     batch, jax.random.fold_in(base_rng, 0), global_step)
             self.state, m = self.train_step(
-                self.state, {k: batch[k] for k in ("latent", "context")},
+                self.state,
+                {k: batch[k] for k in ("latent", "context") if k in batch},
                 base_rng,
             )
 

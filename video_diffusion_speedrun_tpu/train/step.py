@@ -88,18 +88,28 @@ def state_shardings(params_shd: Any, mesh: Mesh) -> TrainState:
     )
 
 
-def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+def batch_shardings(mesh: Mesh, device_context: bool = False
+                    ) -> Dict[str, NamedSharding]:
     data = NamedSharding(mesh, P(DATA_AXES))
+    if device_context:
+        return {"latent": data}
     return {"latent": data, "context": data}
 
 
-def build_train_step(cfg: TrainConfig, mesh: Mesh):
+def build_train_step(cfg: TrainConfig, mesh: Mesh, *,
+                     device_context: bool = False):
     """Returns (init_fn, train_step, eval_step, settings).
 
     init_fn(rng) → TrainState, sharded over the mesh.
     train_step(state, batch, rng) → (state, metrics); jitted, state donated.
     eval_step(params, batch, rng) → metrics; deterministic per explicit rng,
       mirroring the reference's seeded eval generator (`train.py:506`).
+
+    `device_context=True` (synthetic-data runs without a prompt encoder):
+    batches carry only `latent`; the 512×4096 context is generated on-device
+    inside the jitted step from the step rng. Streaming that context from
+    host measured 32 MB/step through the chip tunnel — the dominant cost of
+    the real-hardware loop in round 1 (PERFORMANCE.md "Production loop").
     """
     mcfg = cfg.model
 
@@ -114,7 +124,7 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
 
     params_shd = param_shardings(params_shape, mesh)
     st_shd = state_shardings(params_shd, mesh)
-    b_shd = batch_shardings(mesh)
+    b_shd = batch_shardings(mesh, device_context)
     repl = NamedSharding(mesh, P())
 
     def _init(rng):
@@ -133,8 +143,18 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh):
     )
 
     def _loss_fn(params, batch, rng):
+        context = batch.get("context")
+        if context is None:
+            b = batch["latent"].shape[0]
+            context = 0.05 * jax.random.normal(
+                jax.random.fold_in(rng, 0x0C7E),
+                (b, cfg.data.caption_tokens, cfg.data.context_dim),
+                mcfg.compute_dtype,
+            )
+            context = jax.lax.with_sharding_constraint(
+                context, NamedSharding(mesh, P(DATA_AXES)))
         return rectified_flow_loss(
-            params, mcfg, batch["latent"], batch["context"], rng,
+            params, mcfg, batch["latent"], context, rng,
             alpha=cfg.time_shift_alpha, caption_dropout=cfg.caption_dropout,
             token_sharding=tok_shd,
         )

@@ -98,6 +98,8 @@ def main():
         (False, True, "dots", 2),
         (True, True, "nothing", 4),
         (False, True, "nothing", 1),
+        (True, True, "dots", 4),
+        (True, True, "nothing", 8),
     ]
     pick = [int(a) for a in sys.argv[1:]] or range(len(configs))
     for i in pick:

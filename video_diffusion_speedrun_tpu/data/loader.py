@@ -196,8 +196,14 @@ class DataLoader:
                             batch = self.collate(rows)
                             if batch is not None:
                                 q.put(batch)
+            except RuntimeError:
+                # interpreter/executor teardown race on early consumer exit
+                pass
             finally:
-                q.put(DataLoader._END)
+                try:
+                    q.put_nowait(DataLoader._END)
+                except queue.Full:
+                    pass
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -225,9 +231,10 @@ def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
     Array-valued keys become jax.Arrays sharded batch-over-(replica, fsdp)
     (per-host local data on multi-host via
     `make_array_from_process_local_data`); non-array values pass through.
-    """
+    The host→device staging runs on a dedicated thread so transfer latency
+    (notable through this image's chip relay) overlaps with compute instead
+    of landing between steps on the training thread."""
     sharding = NamedSharding(mesh, batch_pspec())
-    buf = collections.deque()
 
     def to_device(batch):
         out = dict(batch)
@@ -238,9 +245,42 @@ def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
                 )
         return out
 
-    for batch in host_batches:
-        buf.append(to_device(batch))
-        if len(buf) > depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+    stop = threading.Event()
+
+    def stage():
+        try:
+            for batch in host_batches:
+                if stop.is_set():
+                    return
+                staged = to_device(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+        except RuntimeError:
+            # interpreter/executor teardown race on early consumer exit
+            return
+        finally:
+            try:
+                q.put_nowait(_END)
+            except queue.Full:
+                pass
+
+    threading.Thread(target=stage, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

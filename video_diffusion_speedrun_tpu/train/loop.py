@@ -234,6 +234,31 @@ class Trainer:
                     np.asarray(batch["context"], np.float32))
         np.save(f"test_data/timesteps_{step}.npy", np.asarray(ts))
 
+    def _log_train_metrics(self, m, step: int, avg_ms) -> Dict[str, float]:
+        cfg = self.cfg
+        loss = float(m["loss"])
+        record = {
+            "train/diffusion_loss": loss,
+            "train/total_loss": loss,
+            "train/learning_rate_scale": float(m["lr_scale"]),
+            "train/step": step,
+        }
+        if "grad_norm" in m:
+            record["train/grad_norm"] = float(m["grad_norm"])
+        bins = np.asarray(m["bin_sums"]) / np.maximum(
+            np.asarray(m["bin_counts"]), 1)
+        for k in range(10):
+            record[f"train_binning/{k}"] = float(bins[k])
+        if avg_ms is not None:
+            record["train/avg_step_ms"] = avg_ms
+        self.metrics.log(record, step)
+        if is_main_process():
+            self.logger.info(
+                "step %d/%d loss %.4f%s", step, cfg.max_steps, loss,
+                f" avg_step {avg_ms:.1f}ms" if avg_ms else "",
+            )
+        return record
+
     # ----------------------------------------------------------------- train
 
     def train(self) -> Dict[str, float]:
@@ -242,6 +267,7 @@ class Trainer:
         base_rng = jax.random.PRNGKey(cfg.seed + 1)  # folded with step in-step
         global_step = int(self.state.step)
         last: Dict[str, float] = {}
+        pending = None  # (metrics, step) deferred one log interval
         t_start = time.time()
 
         train_iter = self._loader("train")
@@ -259,29 +285,13 @@ class Trainer:
 
             if global_step % cfg.log_every == 0:
                 avg_ms = timer.tick() if global_step else None
-                loss = float(m["loss"])
-                record = {
-                    "train/diffusion_loss": loss,
-                    "train/total_loss": loss,
-                    "train/learning_rate_scale": float(m["lr_scale"]),
-                    "train/step": global_step,
-                }
-                if "grad_norm" in m:
-                    record["train/grad_norm"] = float(m["grad_norm"])
-                bins = np.asarray(m["bin_sums"]) / np.maximum(
-                    np.asarray(m["bin_counts"]), 1)
-                for k in range(10):
-                    record[f"train_binning/{k}"] = float(bins[k])
-                if avg_ms is not None:
-                    record["train/avg_step_ms"] = avg_ms
-                self.metrics.log(record, global_step)
-                if is_main_process():
-                    self.logger.info(
-                        "step %d/%d loss %.4f%s", global_step, cfg.max_steps,
-                        loss,
-                        f" avg_step {avg_ms:.1f}ms" if avg_ms else "",
-                    )
-                last = record
+                # read back the metrics stashed at the PREVIOUS log step: the
+                # device had a full interval to finish them, so this float()
+                # never drains the dispatch pipeline (a same-step readback
+                # stalls the async queue and costs ~10% steady-state)
+                if pending is not None:
+                    last.update(self._log_train_metrics(*pending, avg_ms))
+                pending = (m, global_step)
             else:
                 timer.tick()
 
@@ -296,6 +306,8 @@ class Trainer:
                 self.ckpt.save(global_step, self.state)
                 last.update(ev)
 
+        if pending is not None:
+            last.update(self._log_train_metrics(*pending, None))
         self.ckpt.wait()
         self.metrics.finish()
         self.logger.info("trained %d steps in %.1fs", global_step,

@@ -140,3 +140,53 @@ class TestReferenceParity:
                 ref_name, ours[our_name]["lr"], ref_s["lr"])
             assert np.isclose(ours[our_name]["wd"], ref_s["wd"]), (
                 ref_name, ours[our_name]["wd"], ref_s["wd"])
+
+
+class TestTorchExport:
+    def test_export_roundtrip(self):
+        """params → reference state dict → params must be exact, and the
+        exported names must load into the actual torch reference model."""
+        import sys as _sys
+
+        import numpy as np
+
+        from video_diffusion_speedrun_tpu.models.convert import (
+            params_to_torch_dit, torch_dit_to_params,
+        )
+        from video_diffusion_speedrun_tpu.models.dit import init_dit
+
+        cfg = DiTConfig(
+            in_channels=4, patch_size=2, time_patch_size=2, hidden_size=64,
+            depth=2, num_heads=2, cross_attn_input_size=32, residual_v=True,
+            train_bias_and_rms=True, rope_order="reference",
+            compute_dtype=jnp.float32,
+        )
+        params = init_dit(jax.random.PRNGKey(5), cfg, 0.1)
+        sd = params_to_torch_dit(params, cfg)
+        back = torch_dit_to_params(sd, cfg)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0],
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(pa))
+
+        torch = pytest.importorskip("torch")
+        _sys.path.insert(0, REFERENCE)
+        try:
+            import model as ref_mod
+        finally:
+            _sys.path.remove(REFERENCE)
+        model = ref_mod.DiT(
+            in_channels=4, patch_size=2, time_patch_size=2, hidden_size=64,
+            depth=2, num_heads=2, cross_attn_input_size=32, residual_v=True,
+            train_bias_and_rms=True,
+        )
+        missing, unexpected = model.load_state_dict(
+            {k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+            strict=False,
+        )
+        assert not unexpected, unexpected
+        # reference buffers (rope cos/sin grids) are not parameters we export
+        assert all("rope" in m for m in missing), missing

@@ -57,6 +57,9 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 # --- TPU-native extras (no reference equivalent) ---
 @click.option("--dataset", type=click.Choice(["synthetic", "cosmos_openvid"]),
               default="synthetic")
+@click.option("--synthetic_t_choices", type=str, default="",
+              help="comma-separated latent frame counts for variable-length "
+                   "synthetic clips (enables shape bucketing), e.g. 5,9,17")
 @click.option("--mesh_replica", type=int, default=1)
 @click.option("--mesh_fsdp", type=int, default=-1)
 @click.option("--mesh_context", type=int, default=1,
@@ -77,7 +80,8 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          log_every, run_name, model_width, model_depth, model_head_dim, optimizer_type,
          lr_scheduler_type, train_bias_and_rms, init_std_factor, project_name,
-         return_index, load_checkpoint, rope_order, dataset, mesh_replica,
+         return_index, load_checkpoint, rope_order, dataset, synthetic_t_choices,
+         mesh_replica,
          mesh_fsdp, mesh_context, mesh_tensor, use_t5, seed, use_wandb,
          scan_blocks, remat, platform):
     if optimizer_type != "mup_adam":
@@ -112,7 +116,13 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
         model=model,
         mesh=MeshConfig(replica=mesh_replica, fsdp=mesh_fsdp,
                         context=mesh_context, tensor=mesh_tensor),
-        data=DataConfig(dataset=dataset),
+        data=DataConfig(
+            dataset=dataset,
+            synthetic_t_choices=tuple(
+                int(t) for t in synthetic_t_choices.split(",") if t
+            ),
+            bucket_by_shape=bool(synthetic_t_choices),
+        ),
         optimizer=OptimizerConfig(
             learning_rate=learning_rate, scheduler=lr_scheduler_type,
         ),

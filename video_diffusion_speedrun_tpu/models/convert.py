@@ -108,3 +108,78 @@ def torch_dit_to_params(state_dict: Dict[str, Any], cfg: DiTConfig) -> Dict:
 
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *blocks)
     return params
+
+
+def params_to_torch_dit(params: Dict[str, Any], cfg: DiTConfig
+                        ) -> Dict[str, np.ndarray]:
+    """Inverse of `torch_dit_to_params`: our pytree → a reference-named
+    state dict (numpy; wrap in torch.Tensor to `load_state_dict` into the
+    reference DiT). Lets TPU-trained checkpoints flow back into the torch
+    ecosystem (fine-tuning, side-by-side eval) — the reference has no
+    equivalent import path at all."""
+    import jax
+
+    d = cfg.hidden_size
+    out: Dict[str, np.ndarray] = {}
+
+    def put_lin(name, leaf, bias=None):
+        out[name + ".weight"] = np.asarray(leaf, np.float32).T
+        if bias is not None:
+            out[name + ".bias"] = np.asarray(bias, np.float32)
+
+    pp = params["patch_proj"]
+    # [C·pt·p·p, D] → conv kernel [D, C, pt, p, p]
+    out["patch_embed.patch_proj.weight"] = (
+        np.asarray(pp["weight"], np.float32).T.reshape(
+            d, cfg.in_channels, cfg.time_patch_size, cfg.patch_size,
+            cfg.patch_size)
+    )
+    out["patch_embed.patch_proj.bias"] = np.asarray(pp["bias"], np.float32)
+    out["register_tokens"] = np.asarray(params["register_tokens"], np.float32)
+    put_lin("time_embed.0", params["time_embed"]["fc1"]["weight"],
+            params["time_embed"]["fc1"]["bias"])
+    put_lin("time_embed.2", params["time_embed"]["fc2"]["weight"],
+            params["time_embed"]["fc2"]["bias"])
+    put_lin("final_modulation.1", params["final_modulation"]["weight"],
+            params["final_modulation"]["bias"])
+    if "scale" in params["final_norm"]:
+        out["final_norm.weight"] = np.asarray(
+            params["final_norm"]["scale"], np.float32)
+    put_lin("final_proj", params["final_proj"]["weight"],
+            params["final_proj"]["bias"])
+    if "positional_embedding" in params:
+        out["positional_embedding"] = np.asarray(
+            params["positional_embedding"], np.float32)
+
+    blocks = params["blocks"]
+    depth = jax.tree.leaves(blocks)[0].shape[0]
+    for i in range(depth):
+        blk = jax.tree.map(lambda x: x[i], blocks)
+        p = f"blocks.{i}"
+        if "scale" in blk["norm1"]:
+            out[f"{p}.norm1.weight"] = np.asarray(blk["norm1"]["scale"],
+                                                  np.float32)
+        put_lin(f"{p}.qkv", blk["qkv"]["weight"], blk["qkv"].get("bias"))
+        put_lin(f"{p}.attn_proj", blk["attn_proj"]["weight"])
+        if "scale" in blk["norm3"]:
+            out[f"{p}.norm3.weight"] = np.asarray(blk["norm3"]["scale"],
+                                                  np.float32)
+        put_lin(f"{p}.mlp.0", blk["mlp"]["fc1"]["weight"],
+                blk["mlp"]["fc1"]["bias"])
+        put_lin(f"{p}.mlp.2", blk["mlp"]["fc2"]["weight"],
+                blk["mlp"]["fc2"]["bias"])
+        put_lin(f"{p}.adaLN_modulation.1", blk["adaLN_modulation"]["weight"],
+                blk["adaLN_modulation"]["bias"])
+        if "lambda_param" in blk:
+            out[f"{p}.lambda_param"] = np.asarray(blk["lambda_param"],
+                                                  np.float32)
+        if "q_cross" in blk:
+            if "scale" in blk.get("norm2", {}):
+                out[f"{p}.norm2.weight"] = np.asarray(blk["norm2"]["scale"],
+                                                      np.float32)
+            put_lin(f"{p}.q_cross", blk["q_cross"]["weight"],
+                    blk["q_cross"].get("bias"))
+            put_lin(f"{p}.context_kv", blk["context_kv"]["weight"],
+                    blk["context_kv"].get("bias"))
+            put_lin(f"{p}.cross_proj", blk["cross_proj"]["weight"])
+    return out

@@ -136,6 +136,22 @@ class TestTorchFreeDeserializer:
         with pytest.raises(ValueError):
             fastload.load_tensor(blob)
 
+    @pytest.mark.parametrize("shape,stride", [
+        ((2,), (2 ** 61,)),           # (max_off+1)*itemsize wraps mod 2^64
+        ((2 ** 32, 2 ** 32), (2 ** 32, 1)),  # span product wraps int64
+    ])
+    def test_native_rejects_64bit_overflow_strides(self, shape, stride):
+        """Extent arithmetic on untrusted metadata must not wrap: a stride
+        of 2^61 with itemsize 8 passes a 64-bit (max_off+1)*itemsize check
+        mod 2^64 and reads far out of bounds (round-2 review finding)."""
+        fastload = pytest.importorskip(
+            "video_diffusion_speedrun_tpu.data._native.fastload")
+        blob = self._crafted_blob(shape, stride, 0, 16)
+        with pytest.raises(ValueError):
+            fastload.load_tensor(blob)
+        with pytest.raises(ValueError):
+            load_tensor(blob)  # the pure-Python parser must agree
+
 
 class TestShardedSampler:
     def test_disjoint_and_complete(self):

@@ -236,3 +236,62 @@ class TestContextParallelFused:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                        atol=1e-4, rtol=1e-3,
                                        err_msg=f"d{name}")
+
+
+class TestLongPathBackward:
+    """The blocked long path (explicit block sizes) — both backward
+    variants: fused dq-partials (nk ≤ _MAX_DQ_PARTIALS) and the two-pass
+    fallback beyond it."""
+
+    def _check(self, l, bq, bk):
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(ks[0], (1, l, H * D), jnp.float32)
+        k = jax.random.normal(ks[1], (1, l, H * D), jnp.float32)
+        v = jax.random.normal(ks[2], (1, l, H * D), jnp.float32)
+        cos, sin = rope_cos_sin(D, 10, 8, 8, jnp.zeros(3, jnp.int32))
+        cos, sin = cos[:l], sin[:l]
+
+        def loss_fused(q, k, v):
+            return jnp.sum(rope_flash_attention(
+                q, k, v, cos, sin, H, block_q=bq, block_k=bk) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_reference(q, k, v, cos, sin) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"d{name}")
+
+    def test_fused_dq_partials(self):
+        self._check(l=200, bq=64, bk=64)  # nk=4 ≤ 16 → fused partials
+
+    def test_two_pass_fallback_beyond_partial_cap(self):
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        assert -(-600 // 32) > fa._MAX_DQ_PARTIALS  # nk=19 → fallback
+        self._check(l=600, bq=96, bk=32)
+
+    def test_explicit_blocks_select_long_path(self):
+        """Caller-passed block sizes must not be silently overridden by the
+        short-path auto dispatch (they were, pre round-2 review)."""
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        called = {}
+        orig = fa._forward
+
+        def spy(*a, **kw):
+            called["long"] = True
+            return orig(*a, **kw)
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (1, 64, H * D), jnp.float32)
+        cos, sin = rope_cos_sin(D, 4, 4, 4, jnp.zeros(3, jnp.int32))
+        with mock.patch.object(fa, "_forward", spy):
+            fa.rope_flash_attention(q, q, q, cos[:64], sin[:64], H,
+                                    block_q=64, block_k=64)
+        assert called.get("long")

@@ -560,15 +560,19 @@ PyObject* load_tensor_impl(PyObject*, PyObject* arg) {
     PyErr_SetString(PyExc_ValueError, "fastload: bad tensor metadata");
     return nullptr;
   }
-  int64_t min_off = top->offset, max_off = top->offset;
+  // extent check in 128-bit arithmetic: shape/stride/offset come from
+  // untrusted pickle bytes, and 64-bit products here can wrap (e.g.
+  // stride = 2^61 with itemsize 8 passes a 64-bit "(max_off+1)*itemsize"
+  // check and reads far out of bounds)
+  __int128 min_off = top->offset, max_off = top->offset;
   if (!empty) {
     for (size_t d = 0; d < shape.size(); d++) {
-      int64_t span = (shape[d] - 1) * top->strides[d];
+      __int128 span = (__int128)(shape[d] - 1) * (__int128)top->strides[d];
       if (span >= 0) max_off += span; else min_off += span;
     }
   }
   if (min_off < 0 ||
-      (uint64_t)(max_off + 1) * dt.itemsize > (uint64_t)it->second.size) {
+      (max_off + 1) * (__int128)dt.itemsize > (__int128)it->second.size) {
     PyBuffer_Release(&buf);
     PyErr_SetString(PyExc_ValueError, "fastload: storage too small");
     return nullptr;

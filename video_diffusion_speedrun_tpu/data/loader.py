@@ -116,13 +116,23 @@ class CoordinatedShapeBucketingCollate:
     buffers incoming rows per shape and emits only when the scheduled
     shape's bucket is full, then advances the schedule. With row shapes
     i.i.d. across hosts (the sampler hands each host a random disjoint
-    slice), buffering stays O(batch · num_shapes) in expectation."""
+    slice), buffering stays O(batch · num_shapes) in expectation.
+
+    Finite-stream caveat: at the very end of a bounded epoch stream, hosts
+    may be able to fill different numbers of scheduled batches (random
+    shape composition of the tail) — bound multi-host runs by `max_steps`
+    (the reference always does, `run_debug.sh:12-25`) rather than by
+    epoch exhaustion."""
 
     def __init__(self, batch_size: int, shapes, seed: int = 0, probs=None):
         self.batch_size = batch_size
-        self.shapes = [tuple(s) for s in shapes]
+        # `shapes` may repeat (datasets declare multiplicity); the schedule
+        # must match the arrival distribution or starved buckets grow
+        # without bound
+        raw = [tuple(s) for s in shapes]
+        self.shapes = sorted(set(raw))
         if probs is None:
-            probs = [1.0 / len(self.shapes)] * len(self.shapes)
+            probs = [raw.count(s) for s in self.shapes]
         self.probs = np.asarray(probs, dtype=np.float64)
         self.probs /= self.probs.sum()
         self._rng = np.random.default_rng(seed)  # identical on every host
@@ -200,10 +210,14 @@ class DataLoader:
                 # interpreter/executor teardown race on early consumer exit
                 pass
             finally:
-                try:
-                    q.put_nowait(DataLoader._END)
-                except queue.Full:
-                    pass
+                # guaranteed sentinel delivery (a full bounded queue at
+                # stream end must not strand the consumer in q.get())
+                while not stop.is_set():
+                    try:
+                        q.put(DataLoader._END, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -263,12 +277,16 @@ def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
                         continue
         except RuntimeError:
             # interpreter/executor teardown race on early consumer exit
-            return
+            pass
         finally:
-            try:
-                q.put_nowait(_END)
-            except queue.Full:
-                pass
+            # the sentinel MUST arrive even when the bounded queue is full at
+            # stream end (put_nowait would hang the consumer forever)
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=stage, daemon=True).start()
     try:

@@ -38,12 +38,13 @@ class SyntheticLatentDataset:
         return self.num_rows
 
     def latent_shapes(self):
-        """All latent shapes this dataset can emit (for the coordinated
-        shape schedule on multi-host runs)."""
+        """Latent shapes this dataset emits, WITH multiplicity (the
+        coordinated shape schedule weights its draws by arrival frequency —
+        t_choices=(5, 5, 9) emits shape-5 rows twice as often)."""
         if not self.t_choices:
             return [tuple(self.latent_shape)]
         c, _, h, w = self.latent_shape
-        return [(c, t, h, w) for t in sorted(set(self.t_choices))]
+        return [(c, t, h, w) for t in self.t_choices]
 
     def __getitem__(self, idx: int) -> Dict:
         if not 0 <= idx < self.num_rows:

@@ -28,9 +28,13 @@ from video_diffusion_speedrun_tpu.models.cosmos_vae import (
     init_cosmos_decoder,
 )
 
-# our leaf suffix → torch parameter suffix, per module kind
+# our leaf suffix → torch parameter suffix, per module kind.
+# Convs: the public CausalConv3d wraps an inner nn.Conv3d named `conv3d`;
+# norms: the public CausalNormalize wraps an inner nn.GroupNorm named `norm`
+# (so e.g. our `mid.block_1.norm1.scale` ↔ torch
+# `decoder.mid.block_1.norm1.norm.weight`).
 _CONV_SUFFIX = {"w": "conv3d.weight", "b": "conv3d.bias"}
-_NORM_SUFFIX = {"scale": "weight", "bias": "bias"}
+_NORM_SUFFIX = {"scale": "norm.weight", "bias": "norm.bias"}
 # our attention projection names → Cosmos names
 _ATTN_PROJ = {"q": "q", "k": "k", "v": "v", "proj": "proj_out"}
 

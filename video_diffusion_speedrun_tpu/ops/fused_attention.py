@@ -180,13 +180,17 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     cq_ref, sq_ref, ck_ref, sk_ref,
-                    dk_ref, dv_ref, dqp_ref, dk_scr, dv_scr,
-                    *, scale, kv_len, block_k):
+                    dk_ref, dv_ref, *refs,
+                    scale, kv_len, block_k, emit_dq=True):
     """dk/dv via scratch accumulation over the q grid, plus per-ki dq
     PARTIALS written to HBM (summed outside) — one s/p recompute for all
     three gradients instead of the two full passes of a separate dq kernel
     (saves ~25% of attention-backward FLOPs; the partial buffer is
-    nk × dq-sized, small next to activations)."""
+    nk × dq-sized — bounded by the _MAX_DQ_PARTIALS fallback)."""
+    if emit_dq:
+        dqp_ref, dk_scr, dv_scr = refs
+    else:
+        dk_scr, dv_scr = refs
     qi = pl.program_id(3)
     nq = pl.num_programs(3)
     ki = pl.program_id(2)
@@ -222,12 +226,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ds = (p * (dp - delta) * scale).astype(do.dtype)
     dk_scr[:] += jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-    dq_part = jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-    # rotation is linear: rotate each partial back; the outside sum of
-    # rotated partials equals the rotation of the summed dq
-    dqp_ref[0, 0] = _rope_rotate_t(dq_part, cq_ref[:],
-                                   sq_ref[:]).astype(dqp_ref.dtype)
+    if emit_dq:
+        dq_part = jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        # rotation is linear: rotate each partial back; the outside sum of
+        # rotated partials equals the rotation of the summed dq
+        dqp_ref[0, 0] = _rope_rotate_t(dq_part, cq_ref[:],
+                                       sq_ref[:]).astype(dqp_ref.dtype)
 
     @pl.when(qi == nq - 1)
     def _():
@@ -235,6 +240,55 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk = _rope_rotate_t(dk_scr[:], ck_ref[:], sk_ref[:])
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   cq_ref, sq_ref, ck_ref, sk_ref,
+                   dq_ref, dq_scr,
+                   *, scale, kv_len, block_k):
+    """Separate dq pass for VERY long kv (nk > _MAX_DQ_PARTIALS), where the
+    fused dq-partials buffer (nk × |dq| fp32) would grow quadratically in
+    L; costs one extra s/p recompute instead."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
+    k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    v = v_ref[0]
+    do = do_ref[0]
+    bq = q.shape[0]
+    lse = lse_ref[0, 0, 0].reshape(bq, 1)
+    delta = delta_ref[0, 0, 0].reshape(bq, 1)
+
+    qc = q.astype(v.dtype)
+    kc = k.astype(v.dtype)
+    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - lse)
+    if kv_len % block_k != 0:
+        kmax = kv_len - ki * block_k
+        mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kmax
+        p = jnp.where(mask, p, 0.0)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta) * scale).astype(do.dtype)
+    dq_scr[:] += jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq = _rope_rotate_t(dq_scr[:], cq_ref[:], sq_ref[:])
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+# above this, the fused dq-partials buffer (nk × fp32 dq) stays < ~16×|q|;
+# beyond it fall back to the separate dq pass (one extra s/p recompute)
+_MAX_DQ_PARTIALS = 16
 
 
 def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q, block_k):
@@ -270,18 +324,43 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
     cq_s = pl.BlockSpec((block_q, dh), lambda b, h, ki, qi: (qi, 0))
     ck_s = pl.BlockSpec((block_k, dh), lambda b, h, ki, qi: (ki, 0))
 
-    dqp_spec = pl.BlockSpec((1, 1, block_q, d),
-                            lambda b, h, ki, qi: (ki, b, qi, h))
-    dk, dv, dqp = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, **common),
+    fuse_dq = nk <= _MAX_DQ_PARTIALS
+    if fuse_dq:
+        dqp_spec = pl.BlockSpec((1, 1, block_q, d),
+                                lambda b, h, ki, qi: (ki, b, qi, h))
+        dk, dv, dqp = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel, **common),
+            grid=(b, h, nk, nq),
+            in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
+                      cq_s, cq_s, ck_s, ck_s],
+            out_specs=(kspec, kspec, dqp_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
+                jax.ShapeDtypeStruct((b, lkp, hd), v.dtype),
+                jax.ShapeDtypeStruct((nk, b, lqp, hd), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+        dq = dqp.sum(axis=0).astype(q.dtype)
+        return dq[:, :lq], dk[:, :lk], dv[:, :lk]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, emit_dq=False, **common),
         grid=(b, h, nk, nq),
         in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
                   cq_s, cq_s, ck_s, ck_s],
-        out_specs=(kspec, kspec, dqp_spec),
+        out_specs=(kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
             jax.ShapeDtypeStruct((b, lkp, hd), v.dtype),
-            jax.ShapeDtypeStruct((nk, b, lqp, hd), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -294,7 +373,26 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
 
-    dq = dqp.sum(axis=0).astype(q.dtype)
+    qspec2 = pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h))
+    kspec2 = pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h))
+    lspec2 = pl.BlockSpec((1, 1, 1, block_q),
+                          lambda b, h, qi, ki: (b, h, 0, qi))
+    cq_s2 = pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0))
+    ck_s2 = pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(b, h, nq, nk),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2,
+                  cq_s2, cq_s2, ck_s2, ck_s2],
+        out_specs=qspec2,
+        out_shape=jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
     return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
 
@@ -978,8 +1076,8 @@ def rope_flash_attention(
     sin: jnp.ndarray,
     num_heads: int,
     scale: Optional[float] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused RoPE+flash self-attention over flat [B, L, H·D] (head h lives in
     columns [h·D, (h+1)·D)); cos/sin [L, D/2] fp32; register rows use
@@ -989,8 +1087,14 @@ def rope_flash_attention(
     scale = d ** -0.5 if scale is None else scale
     cos = jax.lax.stop_gradient(cos.astype(jnp.float32))
     sin = jax.lax.stop_gradient(sin.astype(jnp.float32))
-    if _cdiv(k.shape[1], 128) * 128 <= SHORT_MAX_KV:
-        block_q = block_k = 0  # short path: full-L k/v, fused dq/dk/dv bwd
+    if block_q is None and block_k is None \
+            and _cdiv(k.shape[1], 128) * 128 <= SHORT_MAX_KV:
+        # auto: short path (full-L k/v, fused dq/dk/dv bwd); explicit block
+        # sizes always select the blocked long path
+        block_q = block_k = 0
+    else:
+        block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
+        block_k = DEFAULT_BLOCK_K if block_k is None else block_k
     return _rope_flash(q, k, v, cos, sin, cos, sin, num_heads, scale,
                        block_q, block_k, True)
 

@@ -143,6 +143,8 @@ class Trainer:
     def _encode_stream(self, batches: Iterator[Dict]) -> Iterator[Dict]:
         """Attach `context`: precomputed > T5-encoded captions > synthetic."""
         dcfg = self.cfg.data
+        rng = np.random.default_rng(self.cfg.seed + 17)
+        warned = False
         for batch in batches:
             if "context" not in batch:
                 if self.prompt_encoder is not None:
@@ -151,9 +153,19 @@ class Trainer:
                     )
                     batch["context"] = np.asarray(emb.astype(jnp.float32))
                 elif not self.device_context:
-                    raise RuntimeError(
-                        "no context source: dataset rows carry no context, "
-                        "no prompt encoder, and on-device synthesis is off"
+                    # non-synthetic dataset without T5: random stand-in
+                    # context on the host (debug/smoke parity with round 1)
+                    if not warned:
+                        self.logger.warning(
+                            "no prompt encoder — using random context "
+                            "embeddings (pass use_t5 or precomputed "
+                            "embeddings for real training)")
+                        warned = True
+                    b = batch["latent"].shape[0]
+                    batch["context"] = (
+                        rng.standard_normal(
+                            (b, dcfg.caption_tokens, dcfg.context_dim)
+                        ).astype(np.float32) * 0.05
                     )
             yield batch
 

@@ -69,6 +69,8 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
               help="encode captions with the JAX T5 (needs local weights)")
 @click.option("--seed", type=int, default=0)
 @click.option("--wandb", "use_wandb", type=bool, default=False)
+@click.option("--grad_accum", type=int, default=1,
+              help="gradient accumulation microbatches per step")
 @click.option("--scan_blocks", type=bool, default=True,
               help="lax.scan over blocks (False=unrolled: ~1.5x faster, "
                    "slower compile, more memory)")
@@ -83,7 +85,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          return_index, load_checkpoint, rope_order, dataset, synthetic_t_choices,
          mesh_replica,
          mesh_fsdp, mesh_context, mesh_tensor, use_t5, seed, use_wandb,
-         scan_blocks, remat, platform):
+         grad_accum, scan_blocks, remat, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
@@ -127,6 +129,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
             learning_rate=learning_rate, scheduler=lr_scheduler_type,
         ),
         num_epochs=num_epochs, batch_size=batch_size, max_steps=max_steps,
+        grad_accum=grad_accum,
         evaluate_every=evaluate_every, run_name=run_name,
         project_name=project_name, seed=seed,
         init_std_factor=init_std_factor, t5_return_index=return_index,

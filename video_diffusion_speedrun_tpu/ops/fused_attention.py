@@ -402,21 +402,29 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
 # the long path's two — the dq-into-dkv fusion)
 # ---------------------------------------------------------------------------
 
-# max kv length for the short path: k/v live whole in VMEM and the backward
-# holds ~3 [bq, Lk] fp32/bf16 logits-sized temps.
+# max kv length for the short path: k/v live whole in VMEM, and the
+# backward's lk-proportional residents (double-buffered k/v in + dk/dv out,
+# fp32 dk/dv scratch, double-buffered rope tables ≈ 4 KB/row at d=128)
+# leave bq ≥ 256 only up to ~2.4k rows — measured against the 16 MB limit
+# (a 2608-row backward compiled to 17.58 MB under cruder accounting).
 SHORT_MAX_KV = 2048
-_SHORT_VMEM_BUDGET = 10 * 1024 * 1024 + 512 * 1024
+_VMEM_LIMIT = 15 * 1024 * 1024 + 512 * 1024  # leave ~0.5 MB slack
 _ALIGN = 16  # sublane multiple for bf16 blocks (fp32 needs only 8)
 
 
-def _short_block_q(lq: int, lk: int, for_bwd: bool) -> int:
-    """Largest 16-aligned q block whose logits-sized temps fit the VMEM
-    budget. Peak liveness per logit: fwd max(s+p)=6 B; bwd
-    max(s+p, p+dp+ds)=9 B (s dies into p; p/dp die into ds) — sized so the
-    canonical L=1056 backward runs as a single q block per (b,h).
-    16-alignment (not 128) keeps canonical L=1056 entirely pad-free."""
+def _short_block_q(lq: int, lk: int, for_bwd: bool, d: int = 128) -> int:
+    """Largest 16-aligned q block whose VMEM working set fits. Peak logits
+    liveness: fwd max(s+p)=6 B; bwd max(s+p, p+dp+ds)=9 B (s dies into p;
+    p/dp die into ds). lk-proportional residents (double-buffered blocks,
+    scratch, rope tables) are subtracted from the limit. Sized so the
+    canonical L=1056 backward runs as a single q block per (b,h);
+    16-alignment (not 128) keeps it entirely pad-free."""
     per_logit = 9 if for_bwd else 6
-    bq = max(_ALIGN, _SHORT_VMEM_BUDGET // (per_logit * lk))
+    # bwd: k/v in (bf16, ×2 buf) + dk/dv out (bf16, ×2 buf) + fp32 scratch
+    # + rope tables (fp32 [lk, d/2] ×2 tables ×2 buf) ≈ 4 KB/row at d=128
+    fixed = lk * d * ((8 + 8 + 8) if for_bwd else 8) + lk * (d // 2) * 16
+    budget = max(per_logit * lk * _ALIGN, _VMEM_LIMIT - fixed)
+    bq = max(_ALIGN, budget // (per_logit * lk))
     nb = max(1, _cdiv(lq, bq))
     return _cdiv(_cdiv(lq, nb), _ALIGN) * _ALIGN
 

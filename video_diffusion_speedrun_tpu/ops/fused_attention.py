@@ -879,7 +879,7 @@ def _ring_chunk_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, h, scale):
     lk = k.shape[1]
     # lq is 16-aligned (ring chunks); pick a divisor block within budget
     block_q = _fit_block_div(
-        lq, max(_ALIGN, _SHORT_VMEM_BUDGET // (6 * lk)), align=_ALIGN)
+        lq, max(_ALIGN, (_VMEM_LIMIT - 2 * lk * 128 * 2 - lk * 64 * 16) // (6 * lk)), align=_ALIGN)
     dh = d // 2
     nq = lq // block_q
 
@@ -918,7 +918,7 @@ def _ring_chunk_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse, do,
     d = hd // h
     lk = k.shape[1]
     block_q = _fit_block_div(
-        lq, max(_ALIGN, _SHORT_VMEM_BUDGET // (9 * lk)), align=_ALIGN)
+        lq, max(_ALIGN, (_VMEM_LIMIT - 3 * lk * 128 * 8 - lk * 64 * 16) // (9 * lk)), align=_ALIGN)
     dh = d // 2
     nq = lq // block_q
 

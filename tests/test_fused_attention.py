@@ -295,3 +295,46 @@ class TestLongPathBackward:
             fa.rope_flash_attention(q, q, q, cos[:64], sin[:64], H,
                                     block_q=64, block_k=64)
         assert called.get("long")
+
+    def test_dit_cp_ragged_tokens_matches_plain(self):
+        """Whole model under CP with a token count NOT divisible by the
+        context axis (ring pads+masks; GSPMD pads the sharding constraint)."""
+        from video_diffusion_speedrun_tpu.core.config import (
+            DiTConfig, MeshConfig,
+        )
+        from video_diffusion_speedrun_tpu.models.dit import (
+            dit_forward, init_dit,
+        )
+        from video_diffusion_speedrun_tpu.parallel.mesh import (
+            build_mesh, token_pspec,
+        )
+        from jax.sharding import NamedSharding
+
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=2, context=4, tensor=1))
+        tok_shd = NamedSharding(mesh, token_pspec())
+        cfg = DiTConfig(
+            in_channels=4, hidden_size=64, depth=2, num_heads=2,
+            cross_attn_input_size=32, residual_v=True,
+            train_bias_and_rms=True, attention_impl="pallas",
+            compute_dtype=jnp.float32, remat=False,
+        )
+        params = init_dit(jax.random.PRNGKey(1), cfg)
+        params["blocks"]["adaLN_modulation"]["weight"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(2),
+                params["blocks"]["adaLN_modulation"]["weight"].shape) * 0.02)
+        params["final_proj"]["weight"] = (
+            jax.random.normal(jax.random.PRNGKey(3),
+                              params["final_proj"]["weight"].shape) * 0.02)
+        # tokens = 16 registers + 1*1*13 patches = 29; 29 % 4 != 0
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 2, 2, 26))
+        ctx = jax.random.normal(jax.random.PRNGKey(5), (2, 5, 32))
+        ts = jnp.array([0.5, 0.8])
+        off = jnp.zeros(3, jnp.int32)
+        plain = dit_forward(params, cfg, x, ctx, ts, rope_offsets=off)
+        cp = jax.jit(
+            lambda p, x, c, t: dit_forward(p, cfg, x, c, t, rope_offsets=off,
+                                           token_sharding=tok_shd)
+        )(params, x, ctx, ts)
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(plain),
+                                   atol=1e-4, rtol=1e-3)

@@ -83,15 +83,19 @@ def main():
     state, rng, loss = run(3, state, rng)  # compile + warm (incl. readback)
 
     k_small, k_big = 5, 25
-    dt = float("inf")
-    for _ in range(3):  # best-of-3 window pairs (tunnel jitter insurance)
+    # min each window size independently over 3 trials, THEN difference:
+    # jitter can only inflate a window, so min() is the clean estimate of
+    # each; differencing per-trial then min()-ing would bias dt low when
+    # noise lands in a small window
+    t_smalls, t_bigs = [], []
+    for _ in range(3):
         t0 = time.perf_counter()
         state, rng, loss = run(k_small, state, rng)
-        t_small = time.perf_counter() - t0
+        t_smalls.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         state, rng, loss = run(k_big, state, rng)
-        t_big = time.perf_counter() - t0
-        dt = min(dt, (t_big - t_small) / (k_big - k_small))
+        t_bigs.append(time.perf_counter() - t0)
+    dt = (min(t_bigs) - min(t_smalls)) / (k_big - k_small)
 
     tokens_per_sample = (T // 2) * (H // 2) * (W // 2)
     tokens_per_sec_per_chip = B * tokens_per_sample / dt / n_dev

@@ -34,8 +34,11 @@ sys.path.insert(0, ".")
 @click.option("--model_head_dim", type=int, default=128)
 @click.option("--cross_attn_input_size", type=int, default=4096)
 @click.option("--train_bias_and_rms", type=bool, default=False)
+@click.option("--rope_order", type=click.Choice(["matched", "reference"]),
+              default="matched",
+              help="RoPE table order the checkpoint was TRAINED with")
 def main(checkpoint, out, model_width, model_depth, model_head_dim,
-         cross_attn_input_size, train_bias_and_rms):
+         cross_attn_input_size, train_bias_and_rms, rope_order):
     import numpy as np
 
     from video_diffusion_speedrun_tpu.core.config import (
@@ -53,6 +56,17 @@ def main(checkpoint, out, model_width, model_depth, model_head_dim,
         cross_attn_input_size=cross_attn_input_size, residual_v=True,
         train_bias_and_rms=train_bias_and_rms,
     )
+    if rope_order == "matched":
+        # our training default; the torch reference hardcodes the (t,h,w)
+        # "reference" order (`model.py:239-240`) — weights trained under
+        # "matched" see a different position→frequency pairing there
+        click.echo(
+            "WARNING: exporting rope_order='matched' weights. The torch "
+            "reference applies its own (t,h,w) RoPE order; matched-order "
+            "weights will run with scrambled positions there. Train with "
+            "rope_order='reference' if torch-side inference is the goal.",
+            err=True,
+        )
     params = restore_params_for_inference(checkpoint, TrainConfig(model=cfg))
     sd = params_to_torch_dit(params, cfg)
     np.savez(out, **sd)

@@ -137,7 +137,7 @@ class TestTorchFreeDeserializer:
             fastload.load_tensor(blob)
 
     @pytest.mark.parametrize("shape,stride", [
-        ((2,), (2 ** 61,)),           # (max_off+1)*itemsize wraps mod 2^64
+        ((2,), (2 ** 62,)),  # (max_off+1)*4 wraps mod 2^64 (fp32 itemsize)
         ((2 ** 32, 2 ** 32), (2 ** 32, 1)),  # span product wraps int64
     ])
     def test_native_rejects_64bit_overflow_strides(self, shape, stride):

@@ -71,6 +71,9 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 @click.option("--wandb", "use_wandb", type=bool, default=False)
 @click.option("--grad_accum", type=int, default=1,
               help="gradient accumulation microbatches per step")
+@click.option("--allow_random_context", type=bool, default=False,
+              help="permit random stand-in context embeddings when no "
+                   "prompt encoder is configured (smoke runs only)")
 @click.option("--scan_blocks", type=bool, default=True,
               help="lax.scan over blocks (False=unrolled: ~1.5x faster, "
                    "slower compile, more memory)")
@@ -85,7 +88,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          return_index, load_checkpoint, rope_order, dataset, synthetic_t_choices,
          mesh_replica,
          mesh_fsdp, mesh_context, mesh_tensor, use_t5, seed, use_wandb,
-         grad_accum, scan_blocks, remat, platform):
+         grad_accum, allow_random_context, scan_blocks, remat, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
@@ -124,6 +127,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
                 int(t) for t in synthetic_t_choices.split(",") if t
             ),
             bucket_by_shape=bool(synthetic_t_choices),
+            allow_random_context=allow_random_context,
         ),
         optimizer=OptimizerConfig(
             learning_rate=learning_rate, scheduler=lr_scheduler_type,

@@ -182,6 +182,9 @@ class DataConfig:
     bucket_by_shape: bool = False
     caption_tokens: int = 512
     context_dim: int = 4096
+    # permit random stand-in context for non-synthetic datasets without a
+    # prompt encoder (smoke runs only; a silent fallback burned real runs)
+    allow_random_context: bool = False
 
 
 @dataclass(frozen=True)

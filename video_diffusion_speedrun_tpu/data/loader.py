@@ -128,12 +128,20 @@ class CoordinatedShapeBucketingCollate:
         self.batch_size = batch_size
         # `shapes` may repeat (datasets declare multiplicity); the schedule
         # must match the arrival distribution or starved buckets grow
-        # without bound
+        # without bound. Caller-supplied probs pair with the CALLER's shape
+        # order and aggregate per distinct shape.
         raw = [tuple(s) for s in shapes]
-        self.shapes = sorted(set(raw))
         if probs is None:
-            probs = [raw.count(s) for s in self.shapes]
-        self.probs = np.asarray(probs, dtype=np.float64)
+            probs = [1.0] * len(raw)
+        if len(probs) != len(raw):
+            raise ValueError(
+                f"probs ({len(probs)}) must pair 1:1 with shapes ({len(raw)})"
+            )
+        weight: Dict[tuple, float] = {}
+        for shp, pr in zip(raw, probs):
+            weight[shp] = weight.get(shp, 0.0) + float(pr)
+        self.shapes = sorted(weight)
+        self.probs = np.asarray([weight[s] for s in self.shapes], np.float64)
         self.probs /= self.probs.sum()
         self._rng = np.random.default_rng(seed)  # identical on every host
         self._target = None

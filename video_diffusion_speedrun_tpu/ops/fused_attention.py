@@ -412,19 +412,23 @@ _VMEM_LIMIT = 15 * 1024 * 1024 + 512 * 1024  # leave ~0.5 MB slack
 _ALIGN = 16  # sublane multiple for bf16 blocks (fp32 needs only 8)
 
 
-def _short_block_q(lq: int, lk: int, for_bwd: bool, d: int = 128) -> int:
-    """Largest 16-aligned q block whose VMEM working set fits. Peak logits
-    liveness: fwd max(s+p)=6 B; bwd max(s+p, p+dp+ds)=9 B (s dies into p;
-    p/dp die into ds). lk-proportional residents (double-buffered blocks,
-    scratch, rope tables) are subtracted from the limit. Sized so the
-    canonical L=1056 backward runs as a single q block per (b,h);
-    16-alignment (not 128) keeps it entirely pad-free."""
+def _short_row_budget(lk: int, for_bwd: bool, d: int) -> int:
+    """Max q rows whose VMEM working set fits. Peak logits liveness: fwd
+    max(s+p)=6 B; bwd max(s+p, p+dp+ds)=9 B (s dies into p; p/dp die into
+    ds). lk-proportional residents — double-buffered k/v in (and dk/dv out
+    + fp32 scratch on the bwd) plus double-buffered rope tables — are
+    subtracted from the limit (≈4 KB/row at d=128 on the bwd)."""
     per_logit = 9 if for_bwd else 6
-    # bwd: k/v in (bf16, ×2 buf) + dk/dv out (bf16, ×2 buf) + fp32 scratch
-    # + rope tables (fp32 [lk, d/2] ×2 tables ×2 buf) ≈ 4 KB/row at d=128
     fixed = lk * d * ((8 + 8 + 8) if for_bwd else 8) + lk * (d // 2) * 16
     budget = max(per_logit * lk * _ALIGN, _VMEM_LIMIT - fixed)
-    bq = max(_ALIGN, budget // (per_logit * lk))
+    return max(_ALIGN, budget // (per_logit * lk))
+
+
+def _short_block_q(lq: int, lk: int, for_bwd: bool, d: int = 128) -> int:
+    """Largest 16-aligned q block within the VMEM row budget. Sized so the
+    canonical L=1056 backward runs as a single q block per (b,h);
+    16-alignment (not 128) keeps it entirely pad-free."""
+    bq = _short_row_budget(lk, for_bwd, d)
     nb = max(1, _cdiv(lq, bq))
     return _cdiv(_cdiv(lq, nb), _ALIGN) * _ALIGN
 
@@ -472,7 +476,7 @@ def _forward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, use_rope):
     d = hd // h
     lk = k.shape[1]
     lkp = _cdiv(lk, _ALIGN) * _ALIGN
-    block_q = _short_block_q(lq, lkp, for_bwd=False)
+    block_q = _short_block_q(lq, lkp, False, d)
     dh = d // 2
 
     qp = _pad_dim(q, 1, block_q)
@@ -530,7 +534,7 @@ def _forward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h, scale,
     d = hd // h
     lk = lq
     lkp = _cdiv(lk, _ALIGN) * _ALIGN
-    block_q = _short_block_q(lq, lkp, for_bwd=False)
+    block_q = _short_block_q(lq, lkp, False, d)
     dh = d // 2
 
     lqp = _cdiv(lq, block_q) * block_q
@@ -586,7 +590,7 @@ def _backward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
     d = hd // h
     lk = lq
     lkp = _cdiv(lk, _ALIGN) * _ALIGN
-    block_q = _short_block_q(lq, lkp, for_bwd=True)
+    block_q = _short_block_q(lq, lkp, True, d)
     dh = d // 2
 
     lqp = _cdiv(lq, block_q) * block_q
@@ -747,7 +751,7 @@ def _backward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
     d = hd // h
     lk = k.shape[1]
     lkp = _cdiv(lk, _ALIGN) * _ALIGN
-    block_q = _short_block_q(lq, lkp, for_bwd=True)
+    block_q = _short_block_q(lq, lkp, True, d)
     dh = d // 2
 
     qp = _pad_dim(q, 1, block_q)
@@ -878,8 +882,8 @@ def _ring_chunk_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, h, scale):
     d = hd // h
     lk = k.shape[1]
     # lq is 16-aligned (ring chunks); pick a divisor block within budget
-    block_q = _fit_block_div(
-        lq, max(_ALIGN, (_VMEM_LIMIT - 2 * lk * 128 * 2 - lk * 64 * 16) // (6 * lk)), align=_ALIGN)
+    block_q = _fit_block_div(lq, _short_row_budget(lk, False, d),
+                             align=_ALIGN)
     dh = d // 2
     nq = lq // block_q
 
@@ -917,8 +921,8 @@ def _ring_chunk_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse, do,
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
-    block_q = _fit_block_div(
-        lq, max(_ALIGN, (_VMEM_LIMIT - 3 * lk * 128 * 8 - lk * 64 * 16) // (9 * lk)), align=_ALIGN)
+    block_q = _fit_block_div(lq, _short_row_budget(lk, True, d),
+                             align=_ALIGN)
     dh = d // 2
     nq = lq // block_q
 

@@ -153,20 +153,26 @@ class Trainer:
                     )
                     batch["context"] = np.asarray(emb.astype(jnp.float32))
                 elif not self.device_context:
-                    # non-synthetic dataset without T5: random stand-in
-                    # context on the host (debug/smoke parity with round 1)
+                    if not dcfg.allow_random_context:
+                        raise RuntimeError(
+                            "no context source: rows carry no embeddings and "
+                            "no prompt encoder is configured. Pass use_t5 / "
+                            "precomputed embeddings, or set "
+                            "data.allow_random_context=True for a smoke run."
+                        )
+                    # explicit smoke mode: random stand-in context
                     if not warned:
                         self.logger.warning(
-                            "no prompt encoder — using random context "
-                            "embeddings (pass use_t5 or precomputed "
-                            "embeddings for real training)")
+                            "allow_random_context: training against random "
+                            "context embeddings (smoke only)")
                         warned = True
-                    b = batch["latent"].shape[0]
-                    batch["context"] = (
-                        rng.standard_normal(
-                            (b, dcfg.caption_tokens, dcfg.context_dim)
-                        ).astype(np.float32) * 0.05
+                    from video_diffusion_speedrun_tpu.data.synthetic import (
+                        synthetic_context,
                     )
+
+                    batch["context"] = synthetic_context(
+                        rng, batch["latent"].shape[0], dcfg.caption_tokens,
+                        dcfg.context_dim)
             yield batch
 
     # ----------------------------------------------------------- checkpoints

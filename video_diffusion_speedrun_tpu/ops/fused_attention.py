@@ -62,8 +62,8 @@ def _rope_rotate_t(x, cos, sin):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-                o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, kv_len, block_k):
+                kb_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, kv_len, block_k, has_bias=False):
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -87,6 +87,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * (scale * _LOG2E)
+    if has_bias:  # additive kv mask (ring CP tails) — before the pad mask
+        s = s + kb_ref[:]
 
     if kv_len % block_k != 0:  # static: mask only ragged tails
         kmax = kv_len - ki * block_k
@@ -115,7 +117,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         lse_ref[0, 0, 0] = (m_scr[:, :1] + jnp.log2(l)).reshape(bq)
 
 
-def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
+def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
+             kbias=None):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
@@ -132,10 +135,17 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
     dh = d // 2
+    has_bias = kbias is not None
+    if has_bias:  # [1, lk] additive mask, block-sliced along kv
+        kb = _pad_dim(kbias, 1, block_k)
+        kb_spec = pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki))
+    else:  # 16-wide dummy, never read (constant index map: one DMA total)
+        kb = jnp.zeros((1, _ALIGN), jnp.float32)
+        kb_spec = pl.BlockSpec((1, _ALIGN), lambda b, h, qi, ki: (0, 0))
 
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_len=lk,
-                          block_k=block_k),
+                          block_k=block_k, has_bias=has_bias),
         grid=(b, h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
@@ -145,6 +155,7 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
             pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
             pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
             pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
+            kb_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
@@ -169,7 +180,7 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
             transcendentals=b * h * lqp * lkp,
         ),
         interpret=_interpret(),
-    )(qp, kp, vp, cqp, sqp, ckp, skp)
+    )(qp, kp, vp, cqp, sqp, ckp, skp, kb)
     return o[:, :lq], lse[:, :, :, :lq]
 
 
@@ -179,9 +190,9 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k):
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    cq_ref, sq_ref, ck_ref, sk_ref,
+                    cq_ref, sq_ref, ck_ref, sk_ref, kb_ref,
                     dk_ref, dv_ref, *refs,
-                    scale, kv_len, block_k, emit_dq=True):
+                    scale, kv_len, block_k, emit_dq=True, has_bias=False):
     """dk/dv via scratch accumulation over the q grid, plus per-ki dq
     PARTIALS written to HBM (summed outside) — one s/p recompute for all
     three gradients instead of the two full passes of a separate dq kernel
@@ -212,6 +223,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     kc = k.astype(v.dtype)
     s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    if has_bias:
+        s = s + kb_ref[:]
     p = jnp.exp2(s - lse)  # lse is log2-domain (see forward)
     if kv_len % block_k != 0:  # static: mask only ragged tails
         kmax = kv_len - ki * block_k
@@ -243,9 +256,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   cq_ref, sq_ref, ck_ref, sk_ref,
+                   cq_ref, sq_ref, ck_ref, sk_ref, kb_ref,
                    dq_ref, dq_scr,
-                   *, scale, kv_len, block_k):
+                   *, scale, kv_len, block_k, has_bias=False):
     """Separate dq pass for VERY long kv (nk > _MAX_DQ_PARTIALS), where the
     fused dq-partials buffer (nk × |dq| fp32) would grow quadratically in
     L; costs one extra s/p recompute instead."""
@@ -268,6 +281,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     kc = k.astype(v.dtype)
     s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    if has_bias:
+        s = s + kb_ref[:]
     p = jnp.exp2(s - lse)
     if kv_len % block_k != 0:
         kmax = kv_len - ki * block_k
@@ -291,7 +306,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 _MAX_DQ_PARTIALS = 16
 
 
-def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q, block_k):
+def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
+              block_q, block_k, kbias=None):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
@@ -316,7 +332,16 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
     interpret = _interpret()
-    common = dict(scale=scale, kv_len=lk, block_k=block_k)
+    has_bias = kbias is not None
+    common = dict(scale=scale, kv_len=lk, block_k=block_k, has_bias=has_bias)
+    if has_bias:
+        kb = _pad_dim(kbias, 1, block_k)
+        kb_s = pl.BlockSpec((1, block_k), lambda b, h, ki, qi: (0, ki))
+        kb_s2 = pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki))
+    else:
+        kb = jnp.zeros((1, _ALIGN), jnp.float32)
+        kb_s = pl.BlockSpec((1, _ALIGN), lambda b, h, ki, qi: (0, 0))
+        kb_s2 = pl.BlockSpec((1, _ALIGN), lambda b, h, qi, ki: (0, 0))
 
     qspec = pl.BlockSpec((1, block_q, d), lambda b, h, ki, qi: (b, qi, h))
     kspec = pl.BlockSpec((1, block_k, d), lambda b, h, ki, qi: (b, ki, h))
@@ -332,7 +357,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
             functools.partial(_bwd_dkv_kernel, **common),
             grid=(b, h, nk, nq),
             in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
-                      cq_s, cq_s, ck_s, ck_s],
+                      cq_s, cq_s, ck_s, ck_s, kb_s],
             out_specs=(kspec, kspec, dqp_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
@@ -348,7 +373,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
                                      "arbitrary"),
             ),
             interpret=interpret,
-        )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+        )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, kb)
         dq = dqp.sum(axis=0).astype(q.dtype)
         return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
@@ -356,7 +381,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
         functools.partial(_bwd_dkv_kernel, emit_dq=False, **common),
         grid=(b, h, nk, nq),
         in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
-                  cq_s, cq_s, ck_s, ck_s],
+                  cq_s, cq_s, ck_s, ck_s, kb_s],
         out_specs=(kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
@@ -371,7 +396,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, kb)
 
     qspec2 = pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h))
     kspec2 = pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h))
@@ -383,7 +408,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
         functools.partial(_bwd_dq_kernel, **common),
         grid=(b, h, nq, nk),
         in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2,
-                  cq_s2, cq_s2, ck_s2, ck_s2],
+                  cq_s2, cq_s2, ck_s2, ck_s2, kb_s2],
         out_specs=qspec2,
         out_shape=jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -392,7 +417,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale, block_q
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp)
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, kb)
     return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
 
@@ -877,15 +902,34 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+# full-k ring chunk ceilings: beyond these the chunk's fixed VMEM residents
+# (whole k/v + rope tables, + fp32 dk/dv scratch on the bwd) exceed the
+# 16 MB budget — dispatch to the blocked long-path kernels (with the
+# traveling kv-bias threaded through) instead.
+_RING_FULLK_MAX_FWD = 4096
+_RING_FULLK_MAX_BWD = SHORT_MAX_KV
+
+
 def _ring_chunk_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, h, scale):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
-    # lq is 16-aligned (ring chunks); pick a divisor block within budget
+    if lk > _RING_FULLK_MAX_FWD:
+        # blocked fallback: full-k residents would blow VMEM at this chunk
+        o, lse = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                          DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, kbias=kbias)
+        return o, lse[:, :, 0, :, None]  # [b,h,1,lq] → ring layout [b,h,lq,1]
+    # pick a block within budget; pad q to a block multiple when lq has no
+    # 16-aligned divisor in budget (fit_block_div's fallback is NOT a
+    # divisor — unpadded, tail q rows would silently never be computed)
     block_q = _fit_block_div(lq, _short_row_budget(lk, False, d),
                              align=_ALIGN)
+    nq = _cdiv(lq, block_q)
+    lqp = nq * block_q
+    q = _pad_dim(q, 1, block_q)
+    cos_q = _pad_dim(cos_q, 0, block_q)
+    sin_q = _pad_dim(sin_q, 0, block_q)
     dh = d // 2
-    nq = lq // block_q
 
     o, lse = pl.pallas_call(
         functools.partial(_ring_fwd_kernel, scale=scale),
@@ -905,15 +949,15 @@ def _ring_chunk_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, h, scale):
             pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi: (b, h, qi, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, h, lq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lqp, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=_interpret(),
     )(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias)
-    return o, lse
+    return o[:, :lq], lse[:, :, :lq]
 
 
 def _ring_chunk_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse, do,
@@ -921,10 +965,26 @@ def _ring_chunk_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse, do,
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
+    if lk > _RING_FULLK_MAX_BWD:
+        # blocked fallback (full k/v + fp32 dk/dv scratch would blow VMEM);
+        # the long-path backward takes lse as [b, h, 1, lq]
+        lse_long = lse[:, :, :, 0][:, :, None, :]
+        return _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o,
+                         lse_long, do, scale, DEFAULT_BLOCK_Q,
+                         DEFAULT_BLOCK_K, kbias=kbias)
     block_q = _fit_block_div(lq, _short_row_budget(lk, True, d),
                              align=_ALIGN)
+    nq = _cdiv(lq, block_q)
+    lqp = nq * block_q
+    # pad q-side arrays to the block multiple (see _ring_chunk_fwd); padded
+    # do rows are zero ⇒ their ds ≡ 0, so dk/dv pick up no pad contribution
+    q = _pad_dim(q, 1, block_q)
+    do = _pad_dim(do, 1, block_q)
+    o = _pad_dim(o, 1, block_q)
+    lse = _pad_dim(lse, 2, block_q)
+    cos_q = _pad_dim(cos_q, 0, block_q)
+    sin_q = _pad_dim(sin_q, 0, block_q)
     dh = d // 2
-    nq = lq // block_q
 
     qspec = pl.BlockSpec((1, block_q, d), lambda b, h, qi: (b, qi, h))
     kspec = pl.BlockSpec((1, lk, d), lambda b, h, qi: (b, 0, h))
@@ -940,7 +1000,7 @@ def _ring_chunk_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse, do,
                   cq_s, cq_s, ck_s, ck_s, kb_s],
         out_specs=(qspec, kspec, kspec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
             jax.ShapeDtypeStruct((b, lk, hd), k.dtype),
             jax.ShapeDtypeStruct((b, lk, hd), v.dtype),
         ),
@@ -953,7 +1013,7 @@ def _ring_chunk_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse, do,
         ),
         interpret=_interpret(),
     )(q, k, v, do, lse, o, cos_q, sin_q, cos_k, sin_k, kbias)
-    return dq, dk, dv
+    return dq[:, :lq], dk, dv
 
 
 def _online_merge(o1, lse1, o2, lse2, h):

@@ -217,17 +217,24 @@ class Trainer:
         bin_sums = np.zeros(10)
         bin_counts = np.zeros(10)
         rng = jax.random.PRNGKey(self.cfg.seed + 1000)  # fixed eval seed
-        for idx, batch in enumerate(self._loader("test")):
-            rng, sub = jax.random.split(rng)
-            m = self.eval_step(
-                self.state.params,
-                {k: batch[k] for k in ("latent", "context") if k in batch},
-                sub)
-            losses.append(float(m["loss"]))
-            bin_sums += np.asarray(m["bin_sums"])
-            bin_counts += np.asarray(m["bin_counts"])
-            if idx + 1 >= self.cfg.eval_batches:
-                break
+        stream = self._loader("test")
+        try:
+            for idx, batch in enumerate(stream):
+                rng, sub = jax.random.split(rng)
+                m = self.eval_step(
+                    self.state.params,
+                    {k: batch[k] for k in ("latent", "context") if k in batch},
+                    sub)
+                losses.append(float(m["loss"]))
+                bin_sums += np.asarray(m["bin_sums"])
+                bin_counts += np.asarray(m["bin_counts"])
+                if idx + 1 >= self.cfg.eval_batches:
+                    break
+        finally:
+            # breaking at eval_batches abandons the generator chain mid-
+            # stream; close it so the producer/stager daemon threads exit
+            # now, not at GC (hundreds of evals would accumulate threads)
+            stream.close()
         out = {"test/total_loss": float(np.mean(losses)),
                "test/diffusion_loss": float(np.mean(losses))}
         for k in range(10):
@@ -289,40 +296,14 @@ class Trainer:
         t_start = time.time()
 
         train_iter = self._loader("train")
-        for batch in train_iter:
-            if global_step >= cfg.max_steps:
-                break
-            if cfg.capture_fixtures and global_step == 0 and is_main_process():
-                self._capture_fixtures(
-                    batch, jax.random.fold_in(base_rng, 0), global_step)
-            self.state, m = self.train_step(
-                self.state,
-                {k: batch[k] for k in ("latent", "context") if k in batch},
-                base_rng,
-            )
-
-            if global_step % cfg.log_every == 0:
-                avg_ms = timer.tick() if global_step else None
-                # read back the metrics stashed at the PREVIOUS log step: the
-                # device had a full interval to finish them, so this float()
-                # never drains the dispatch pipeline (a same-step readback
-                # stalls the async queue and costs ~10% steady-state)
-                if pending is not None:
-                    last.update(self._log_train_metrics(*pending, avg_ms))
-                pending = (m, global_step)
-            else:
-                timer.tick()
-
-            global_step += 1
-
-            if global_step % cfg.evaluate_every == 1:
-                ev = self.evaluate(global_step)
-                self.metrics.log(ev, global_step)
-                if is_main_process():
-                    self.logger.info("eval @%d: %.4f", global_step,
-                                     ev["test/total_loss"])
-                self.ckpt.save(global_step, self.state)
-                last.update(ev)
+        try:
+            for batch in train_iter:
+                if global_step >= cfg.max_steps:
+                    break
+                global_step, last, pending = self._train_one(
+                    batch, cfg, timer, base_rng, global_step, last, pending)
+        finally:
+            train_iter.close()  # max_steps break abandons the stream
 
         if pending is not None:
             last.update(self._log_train_metrics(*pending, None))
@@ -331,3 +312,40 @@ class Trainer:
         self.logger.info("trained %d steps in %.1fs", global_step,
                          time.time() - t_start)
         return last
+
+    def _train_one(self, batch, cfg, timer, base_rng, global_step, last,
+                   pending):
+        """One loop-body step; returns the updated (step, last, pending)."""
+        if cfg.capture_fixtures and global_step == 0 and is_main_process():
+            self._capture_fixtures(
+                batch, jax.random.fold_in(base_rng, 0), global_step)
+        self.state, m = self.train_step(
+            self.state,
+            {k: batch[k] for k in ("latent", "context") if k in batch},
+            base_rng,
+        )
+
+        if global_step % cfg.log_every == 0:
+            avg_ms = timer.tick() if global_step else None
+            # read back the metrics stashed at the PREVIOUS log step: the
+            # device had a full interval to finish them, so this float()
+            # never drains the dispatch pipeline (a same-step readback
+            # stalls the async queue and costs ~10% steady-state)
+            if pending is not None:
+                last.update(self._log_train_metrics(*pending, avg_ms))
+            pending = (m, global_step)
+        else:
+            timer.tick()
+
+        global_step += 1
+
+        if global_step % cfg.evaluate_every == 1:
+            ev = self.evaluate(global_step)
+            self.metrics.log(ev, global_step)
+            if is_main_process():
+                self.logger.info("eval @%d: %.4f", global_step,
+                                 ev["test/total_loss"])
+            self.ckpt.save(global_step, self.state)
+            last.update(ev)
+
+        return global_step, last, pending

@@ -7,6 +7,7 @@ exercised compiled on TPU by the benchmarks."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from video_diffusion_speedrun_tpu.models.rope import apply_rotary, rope_cos_sin
 from video_diffusion_speedrun_tpu.ops.attention import dot_product_attention
@@ -109,6 +110,105 @@ class TestFusedRopeFlash:
         b = dit_forward(params, cfg_x, x, ctx, ts, rope_offsets=off)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+class TestNoRopeFused:
+    def test_norope_short_matches_reference(self):
+        from video_diffusion_speedrun_tpu.ops.fused_attention import (
+            norope_flash_attention,
+        )
+
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(ks[0], (2, 52, H * D), jnp.float32)
+        k = jax.random.normal(ks[1], (2, 52, H * D), jnp.float32)
+        v = jax.random.normal(ks[2], (2, 52, H * D), jnp.float32)
+
+        def ref(q, k, v):
+            b, l, hd = q.shape
+            d = hd // H
+            qh, kh, vh = (t.reshape(b, -1, H, d).transpose(0, 2, 1, 3)
+                          for t in (q, k, v))
+            return dot_product_attention(qh, kh, vh).transpose(
+                0, 2, 1, 3).reshape(b, l, hd)
+
+        gf = jax.grad(lambda q, k, v: jnp.sum(
+            norope_flash_attention(q, k, v, H) ** 2), argnums=(0, 1, 2))(
+            q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(ref(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(norope_flash_attention(q, k, v, H)),
+            np.asarray(ref(q, k, v)), atol=2e-5, rtol=1e-4)
+        for name, a, b in zip("qkv", gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-3,
+                                       err_msg=f"d{name}")
+
+    def test_norope_long_path_identity_tables(self):
+        """kv > SHORT_MAX_KV routes to the blocked path with cos=1/sin=0
+        identity tables; force it with a tiny patched ceiling."""
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        ks = jax.random.split(jax.random.PRNGKey(12), 3)
+        q = jax.random.normal(ks[0], (1, 200, H * D), jnp.float32)
+        k = jax.random.normal(ks[1], (1, 200, H * D), jnp.float32)
+        v = jax.random.normal(ks[2], (1, 200, H * D), jnp.float32)
+
+        def ref(q, k, v):
+            b, l, hd = q.shape
+            d = hd // H
+            qh, kh, vh = (t.reshape(b, -1, H, d).transpose(0, 2, 1, 3)
+                          for t in (q, k, v))
+            return dot_product_attention(qh, kh, vh).transpose(
+                0, 2, 1, 3).reshape(b, l, hd)
+
+        with mock.patch.object(fa, "SHORT_MAX_KV", 128), \
+                mock.patch.object(fa, "DEFAULT_BLOCK_Q", 128), \
+                mock.patch.object(fa, "DEFAULT_BLOCK_K", 128):
+            got = fa.norope_flash_attention(q, k, v, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref(q, k, v)),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_dit_pallas_norope_matches_xla(self):
+        """use_rope=False model on the pallas impl == xla impl (the retired
+        v1 kernel's only live role; now the fused no-rope path)."""
+        from video_diffusion_speedrun_tpu.core.config import DiTConfig
+        from video_diffusion_speedrun_tpu.models.dit import (
+            dit_forward, init_dit,
+        )
+
+        cfg_p = DiTConfig(
+            in_channels=4, hidden_size=64, depth=2, num_heads=2,
+            cross_attn_input_size=32, residual_v=True,
+            train_bias_and_rms=True, attention_impl="pallas",
+            compute_dtype=jnp.float32, remat=False, use_rope=False,
+            max_tokens_no_rope=4 * 4 * 4 + 16,
+        )
+        cfg_x = cfg_p.replace(attention_impl="xla")
+        params = init_dit(jax.random.PRNGKey(1), cfg_p)
+        params["blocks"]["adaLN_modulation"]["weight"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(2),
+                params["blocks"]["adaLN_modulation"]["weight"].shape) * 0.02)
+        params["final_proj"]["weight"] = (
+            jax.random.normal(jax.random.PRNGKey(3),
+                              params["final_proj"]["weight"].shape) * 0.02)
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 8, 8, 8))
+        ctx = jax.random.normal(jax.random.PRNGKey(5), (1, 5, 32))
+        ts = jnp.array([0.5])
+        a = dit_forward(params, cfg_p, x, ctx, ts)
+        b = dit_forward(params, cfg_x, x, ctx, ts)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+    def test_attention_pallas_impl_retired(self):
+        from video_diffusion_speedrun_tpu.ops.attention import attention
+
+        q = jnp.zeros((1, 2, 8, 16))
+        with pytest.raises(ValueError, match="retired"):
+            attention(q, q, q, impl="pallas")
 
 
 class TestContextParallelFused:

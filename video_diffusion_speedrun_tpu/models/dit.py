@@ -210,18 +210,17 @@ def _norm_modulate(cfg: DiTConfig, x, gamma, shift, scale):
 
 def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos,
                          cp_enabled: bool = False) -> bool:
-    """Fused RoPE+flash (BLHD) kernel dispatch: explicit "pallas", or "auto"
-    on TPU at long sequence lengths (see ops/attention.py threshold). Under
-    context parallelism the kernel runs inside shard_map with all-gathered
-    k/v (ops/fused_attention.py:cp_rope_flash_attention)."""
-    if cos is None:
+    """Fused flash (BLHD) kernel dispatch: explicit "pallas", or "auto" on
+    TPU (the fused short-sequence path beats XLA attention at every measured
+    L, PERFORMANCE.md). Under context parallelism the kernel runs as a
+    ppermute ring inside shard_map (cp_rope_flash_attention); the ring
+    kernels are RoPE-fused, so a use_rope=False model under CP takes the
+    XLA path instead."""
+    if cos is None and cp_enabled:
         return False
     if cfg.attention_impl == "pallas":
         return True
     if cfg.attention_impl == "auto":
-        # the fused kernel now has a short-sequence path (single-pass
-        # softmax, one-kernel dq/dk/dv backward) that beats XLA attention at
-        # every measured L (PERFORMANCE.md) — dispatch on TPU unconditionally
         return jax.default_backend() == "tpu"
     return False
 
@@ -274,6 +273,13 @@ def block_forward(
             attn_out = cp_rope_flash_attention(
                 q, k, v, cos, sin, nh, token_sharding
             )
+        elif cos is None:
+            from video_diffusion_speedrun_tpu.ops.fused_attention import (
+                norope_flash_attention,
+            )
+
+            q, k = qkv[..., :d], qkv[..., d:2 * d]
+            attn_out = norope_flash_attention(q, k, v, nh)
         else:
             from video_diffusion_speedrun_tpu.ops.fused_attention import (
                 SHORT_MAX_KV,
@@ -295,7 +301,7 @@ def block_forward(
         if cos is not None:
             qh = apply_rotary(qh, cos, sin)
             kh = apply_rotary(kh, cos, sin)
-        out = attention(qh, kh, vh, impl=cfg.attention_impl)
+        out = attention(qh, kh, vh, impl="xla")
         attn_out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     attn_out = _dense(bp["attn_proj"], attn_out, cdt)
     has_cross = cfg.cross_attn_input_size is not None
@@ -327,10 +333,7 @@ def block_forward(
         else:
             ckv = _dense(bp["context_kv"], context, cdt)  # [B, Lc, 2D]
         lc = ckv.shape[1]
-        if _use_fused_attention(cfg, l, cos) or (
-            cfg.attention_impl == "auto"
-            and jax.default_backend() == "tpu"
-        ):
+        if _use_fused_attention(cfg, l, cos):
             # flat-head short-path kernel: k/v are straight column slices of
             # the (2, h, d)-laid-out context projection — no transposes
             from video_diffusion_speedrun_tpu.ops.fused_attention import (

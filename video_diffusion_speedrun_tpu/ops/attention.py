@@ -1,18 +1,14 @@
-"""Attention dispatch: Pallas flash attention on TPU, XLA attention elsewhere.
+"""XLA attention — the numerical reference path.
 
 Replaces the reference's `F.scaled_dot_product_attention` calls
-(`/root/reference/model.py:136,157`) — one entry point for both the long
-spatiotemporal self-attention and the 512-token cross-attention.
-
-`dot_product_attention` is the XLA path: a plain einsum-softmax-einsum that XLA
-fuses well at moderate sequence lengths and that serves as the numerical
-reference for the Pallas kernel's tests. The Pallas path (ops/flash_attention.py)
-is the O(L)-memory hot-path kernel used for long video token sequences.
+(`/root/reference/model.py:136,157`). The production TPU hot path is the
+fused RoPE+flash kernel family in ops/fused_attention.py (flat BLHD layout,
+short/long/ring paths); this module is the plain einsum-softmax-einsum
+composition that XLA fuses well — used off-TPU, as the parity reference in
+tests, and for explicit `attention_impl="xla"` runs.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -41,18 +37,6 @@ def dot_product_attention(
     ).astype(v.dtype)
 
 
-@functools.lru_cache(maxsize=1)
-def _pallas_available() -> bool:
-    return jax.default_backend() == "tpu"
-
-
-# Below this q-length XLA's fused attention wins (measured on v5e: at
-# L≈1k the XLA path is ~12% faster than the Pallas kernel; the Pallas
-# kernel's O(L) memory is what matters at video lengths L ≳ 4k where XLA
-# would materialize L² logits).
-PALLAS_MIN_SEQ = 4096
-
-
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -60,17 +44,19 @@ def attention(
     *,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Fused attention entry point. impl: auto | pallas | xla."""
-    if impl == "auto":
-        impl = (
-            "pallas"
-            if _pallas_available() and q.shape[2] >= PALLAS_MIN_SEQ
-            else "xla"
-        )
-    if impl == "pallas":
-        from video_diffusion_speedrun_tpu.ops.flash_attention import flash_attention
+    """XLA attention entry point (impl: auto | xla — both the XLA path).
 
-        return flash_attention(q, k, v)
-    if impl == "xla":
+    The Pallas kernels live in ops/fused_attention.py and are dispatched at
+    the model level (`models/dit.py:_use_fused_attention`); the old
+    per-call "pallas" impl here routed to a superseded v1 kernel and was
+    retired (round-2 VERDICT weak #3)."""
+    if impl in ("auto", "xla"):
         return dot_product_attention(q, k, v)
+    if impl == "pallas":
+        raise ValueError(
+            "attention(impl='pallas') was retired — the fused kernels in "
+            "ops/fused_attention.py (rope_flash_attention / "
+            "norope_flash_attention / cross_flash_attention) are dispatched "
+            "from the model; this entry point is XLA-only"
+        )
     raise ValueError(f"unknown attention impl: {impl}")

@@ -1171,6 +1171,33 @@ def rope_flash_attention(
                        block_q, block_k, True)
 
 
+def norope_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Flat-layout flash self-attention WITHOUT RoPE — the `use_rope=False`
+    configs (`model.py:313-314` positional-embedding variant). Short
+    sequences skip the rope tables entirely; beyond SHORT_MAX_KV the blocked
+    long path runs with identity tables (cos=1, sin=0)."""
+    d = q.shape[-1] // num_heads
+    scale = d ** -0.5 if scale is None else scale
+    dh = d // 2
+    if _cdiv(k.shape[1], 128) * 128 <= SHORT_MAX_KV:
+        z_q = jnp.zeros((q.shape[1], dh), jnp.float32)
+        z_k = jnp.zeros((k.shape[1], dh), jnp.float32)
+        return _rope_flash(q, k, v, z_q, z_q, z_k, z_k, num_heads, scale,
+                           0, 0, False)
+    c_q = jnp.ones((q.shape[1], dh), jnp.float32)
+    s_q = jnp.zeros((q.shape[1], dh), jnp.float32)
+    c_k = jnp.ones((k.shape[1], dh), jnp.float32)
+    s_k = jnp.zeros((k.shape[1], dh), jnp.float32)
+    return _rope_flash(q, k, v, c_q, s_q, c_k, s_k, num_heads, scale,
+                       DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, True)
+
+
 def cross_flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

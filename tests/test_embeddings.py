@@ -1,0 +1,122 @@
+"""Precomputed-embedding consumption path (round-2 VERDICT missing #3):
+scripts/precompute_embeddings.py writes shard_*.npz; the
+PrecomputedEmbeddingJoin reader joins them back onto rows as `context`,
+and the Trainer trains from them with NO encoder in the loop — the
+"precomputed" tier of the context priority chain (train/loop.py docstring),
+replacing the reference's per-step T5 encode (`train.py:77-84`).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_diffusion_speedrun_tpu.data.embeddings import (
+    PrecomputedEmbeddingJoin,
+)
+from video_diffusion_speedrun_tpu.data.synthetic import SyntheticLatentDataset
+
+
+def _write_shards(dirpath, num_rows, rows_per_shard, tokens=6, dim=32,
+                  seed=0):
+    """Same format as scripts/precompute_embeddings.py (fp16 + row_start)."""
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    all_emb = rng.standard_normal((num_rows, tokens, dim)).astype(np.float16)
+    for lo in range(0, num_rows, rows_per_shard):
+        hi = min(lo + rows_per_shard, num_rows)
+        np.savez_compressed(
+            os.path.join(dirpath, f"shard_{lo:09d}.npz"),
+            embeddings=all_emb[lo:hi], row_start=lo,
+        )
+    return all_emb
+
+
+class TestPrecomputedEmbeddingJoin:
+    def test_rows_get_context_across_shards(self, tmp_path):
+        emb = _write_shards(str(tmp_path), num_rows=20, rows_per_shard=8)
+        ds = PrecomputedEmbeddingJoin(
+            SyntheticLatentDataset(num_rows=20, latent_shape=(4, 2, 8, 8)),
+            str(tmp_path), cache_shards=2)
+        assert len(ds) == 20
+        for idx in (0, 7, 8, 15, 16, 19):  # shard interiors + boundaries
+            row = ds[idx]
+            assert row["context"].dtype == np.float32
+            np.testing.assert_allclose(row["context"],
+                                       emb[idx].astype(np.float32))
+            assert "latent" in row and "caption" in row
+
+    def test_uncovered_row_raises(self, tmp_path):
+        _write_shards(str(tmp_path), num_rows=8, rows_per_shard=8)
+        ds = PrecomputedEmbeddingJoin(
+            SyntheticLatentDataset(num_rows=20, latent_shape=(4, 2, 8, 8)),
+            str(tmp_path))
+        with pytest.raises(KeyError, match="not covered"):
+            ds[12]
+
+    def test_empty_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="shard_"):
+            PrecomputedEmbeddingJoin(
+                SyntheticLatentDataset(num_rows=4), str(tmp_path))
+
+    def test_lru_keeps_bounded_cache(self, tmp_path):
+        _write_shards(str(tmp_path), num_rows=32, rows_per_shard=8)
+        ds = PrecomputedEmbeddingJoin(
+            SyntheticLatentDataset(num_rows=32, latent_shape=(4, 2, 8, 8)),
+            str(tmp_path), cache_shards=1)
+        for idx in (0, 9, 17, 25, 3, 30):
+            ds[idx]
+        assert len(ds._cache) == 1
+
+    def test_latent_shapes_pass_through(self, tmp_path):
+        _write_shards(str(tmp_path), num_rows=8, rows_per_shard=8)
+        base = SyntheticLatentDataset(num_rows=8, latent_shape=(4, 2, 8, 8),
+                                      t_choices=(2, 3))
+        ds = PrecomputedEmbeddingJoin(base, str(tmp_path))
+        assert ds.latent_shapes() == base.latent_shapes()
+
+
+class TestTrainerPrecomputedPath:
+    def test_trains_without_encoder(self, tmp_path):
+        """E2E: write shards for train+test splits, train 6 steps with no
+        prompt encoder and allow_random_context=False — the loop must pull
+        context exclusively from the shards (anything else raises)."""
+        from video_diffusion_speedrun_tpu.core.config import (
+            DataConfig, DiTConfig, MeshConfig, OptimizerConfig, TrainConfig,
+        )
+        from video_diffusion_speedrun_tpu.train.loop import Trainer
+
+        emb_root = tmp_path / "emb"
+        # synthetic train split has 4096 rows; shards must cover every row
+        # the sampler may draw. test split: DataConfig.test_rows.
+        _write_shards(str(emb_root / "train"), num_rows=4096,
+                      rows_per_shard=2048, tokens=6, dim=32)
+        _write_shards(str(emb_root / "test"), num_rows=64,
+                      rows_per_shard=64, tokens=6, dim=32)
+
+        model = DiTConfig(
+            in_channels=16, hidden_size=64, depth=2, num_heads=2,
+            cross_attn_input_size=32, residual_v=True,
+            train_bias_and_rms=True, attention_impl="xla",
+            compute_dtype=jnp.float32,
+        )
+        cfg = TrainConfig(
+            model=model, mesh=MeshConfig(replica=1, fsdp=8),
+            data=DataConfig(
+                dataset="synthetic", synthetic_shape=(16, 4, 16, 16),
+                caption_tokens=6, context_dim=32, num_workers=2,
+                allow_random_context=False,
+                embeddings_dir=str(emb_root),
+            ),
+            optimizer=OptimizerConfig(learning_rate=0.01,
+                                      scheduler="constant", warmup_steps=2),
+            num_epochs=1, batch_size=16, max_steps=6, evaluate_every=5,
+            eval_batches=1, run_name="precomp",
+            checkpoint_dir=str(tmp_path / "ckpt"), log_every=3, seed=0,
+        )
+        trainer = Trainer(cfg, prompt_encoder=None)
+        assert not trainer.device_context  # context comes from the data
+        last = trainer.train()
+        assert np.isfinite(last["train/total_loss"])
+        assert "test/total_loss" in last

@@ -57,6 +57,8 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 # --- TPU-native extras (no reference equivalent) ---
 @click.option("--dataset", type=click.Choice(["synthetic", "cosmos_openvid"]),
               default="synthetic")
+@click.option("--synthetic_rows", type=int, default=4096,
+              help="synthetic train-split row count")
 @click.option("--synthetic_t_choices", type=str, default="",
               help="comma-separated latent frame counts for variable-length "
                    "synthetic clips (enables shape bucketing), e.g. 5,9,17")
@@ -67,6 +69,10 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 @click.option("--mesh_tensor", type=int, default=1)
 @click.option("--use_t5", type=bool, default=False,
               help="encode captions with the JAX T5 (needs local weights)")
+@click.option("--embeddings_dir", type=str, default=None,
+              help="dir of shard_*.npz from scripts/precompute_embeddings.py "
+                   "(per-split subdirs or flat); rows get offline context "
+                   "and no per-step T5 encode runs")
 @click.option("--seed", type=int, default=0)
 @click.option("--wandb", "use_wandb", type=bool, default=False)
 @click.option("--grad_accum", type=int, default=1,
@@ -85,10 +91,12 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          log_every, run_name, model_width, model_depth, model_head_dim, optimizer_type,
          lr_scheduler_type, train_bias_and_rms, init_std_factor, project_name,
-         return_index, load_checkpoint, rope_order, dataset, synthetic_t_choices,
+         return_index, load_checkpoint, rope_order, dataset, synthetic_rows,
+         synthetic_t_choices,
          mesh_replica,
-         mesh_fsdp, mesh_context, mesh_tensor, use_t5, seed, use_wandb,
-         grad_accum, allow_random_context, scan_blocks, remat, platform):
+         mesh_fsdp, mesh_context, mesh_tensor, use_t5, embeddings_dir, seed,
+         use_wandb, grad_accum, allow_random_context, scan_blocks, remat,
+         platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
@@ -123,11 +131,13 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
                         context=mesh_context, tensor=mesh_tensor),
         data=DataConfig(
             dataset=dataset,
+            synthetic_rows=synthetic_rows,
             synthetic_t_choices=tuple(
                 int(t) for t in synthetic_t_choices.split(",") if t
             ),
             bucket_by_shape=bool(synthetic_t_choices),
             allow_random_context=allow_random_context,
+            embeddings_dir=embeddings_dir,
         ),
         optimizer=OptimizerConfig(
             learning_rate=learning_rate, scheduler=lr_scheduler_type,

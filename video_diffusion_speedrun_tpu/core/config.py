@@ -171,6 +171,8 @@ class DataConfig:
     num_workers: int = 8
     prefetch: int = 2
     shuffle_seed: int = 0
+    # synthetic train-split row count (test split uses test_rows)
+    synthetic_rows: int = 4096
     # Synthetic-latent shape [C, T, H, W] (Cosmos CV4x8x8 latents of 17-frame
     # 256px clips are [16, 5, 32, 32]).
     synthetic_shape: tuple = (16, 5, 32, 32)
@@ -185,6 +187,11 @@ class DataConfig:
     # permit random stand-in context for non-synthetic datasets without a
     # prompt encoder (smoke runs only; a silent fallback burned real runs)
     allow_random_context: bool = False
+    # directory of shard_*.npz files from scripts/precompute_embeddings.py;
+    # when set, rows arrive with `context` pre-joined (the "precomputed"
+    # tier of the trainer's context priority chain) and no per-step T5
+    # encode runs (reference cost: `train.py:77-84` every step)
+    embeddings_dir: Optional[str] = None
 
 
 @dataclass(frozen=True)

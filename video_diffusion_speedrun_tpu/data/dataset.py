@@ -13,6 +13,7 @@ the full split independently, SURVEY.md §Quirks #4).
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -21,7 +22,15 @@ from video_diffusion_speedrun_tpu.data.serialization import load_tensor
 
 
 class LatentDataset:
-    """Row interface: __getitem__ → {"latent": np.ndarray[C,T,H,W], "caption": str}."""
+    """Row interface: __getitem__ → {"latent": np.ndarray[C,T,H,W], "caption": str}.
+
+    `hf_name` may also be a local parquet file/directory with the same
+    columns (`serialized_latent` bytes + `caption`) — the fixture path for
+    offline end-to-end rehearsal (scripts/make_data_fixture.py); the split
+    arithmetic then applies the reference formula to the fixture's actual
+    row count (half the rows, last TEST_ROWS of that half as test), which
+    reduces to the exact reference numbers on the real dataset.
+    """
 
     TOTAL_ROWS = 1_979_810
     TEST_ROWS = 40
@@ -30,16 +39,34 @@ class LatentDataset:
                  hf_name: str = "fal/cosmos-openvid-1m"):
         from datasets import load_dataset  # lazy: heavy import
 
-        half = self.TOTAL_ROWS // 2
+        if os.path.exists(hf_name):  # local parquet fixture
+            if os.path.isdir(hf_name):
+                files = sorted(
+                    os.path.join(hf_name, f) for f in os.listdir(hf_name)
+                    if f.endswith(".parquet")
+                )
+            else:
+                files = [hf_name]
+            base = load_dataset("parquet", data_files=files, split="train",
+                                cache_dir=cache_dir)
+        else:
+            base = load_dataset(hf_name, split="train", cache_dir=cache_dir)
+        # reference split arithmetic (`sharded_dataset.py:18-19`): MS =
+        # total // 2; train = [0, MS-40), test = [MS-40, MS)
+        half = len(base) // 2
+        test_rows = min(self.TEST_ROWS, half)
         if split == "train":
-            rng = range(0, half - self.TEST_ROWS)
+            rng = range(0, half - test_rows)
         elif split == "test":
-            rng = range(half - self.TEST_ROWS, half)
+            rng = range(half - test_rows, half)
         else:
             raise ValueError(f"unknown split: {split}")
-        self.dataset = load_dataset(
-            hf_name, split="train", cache_dir=cache_dir
-        ).select(rng)
+        if len(rng) == 0:
+            raise ValueError(
+                f"split {split!r} is empty: dataset has {len(base)} rows "
+                f"(half={half}, test={test_rows})"
+            )
+        self.dataset = base.select(rng)
 
     def __len__(self) -> int:
         return len(self.dataset)

@@ -58,9 +58,12 @@ class Trainer:
 
         # synthetic runs without a prompt encoder draw the context on-device
         # inside the step (kills the 32 MB/step host transfer, round-1
-        # PERFORMANCE.md "Production loop")
+        # PERFORMANCE.md "Production loop"); precomputed embeddings
+        # (data.embeddings_dir) take precedence — rows arrive with real
+        # context pre-joined
         self.device_context = (
             cfg.data.dataset == "synthetic" and prompt_encoder is None
+            and cfg.data.embeddings_dir is None
         )
         (self.init_fn, self.train_step, self.eval_step, self.mup_settings
          ) = build_train_step(cfg, self.mesh,
@@ -95,16 +98,30 @@ class Trainer:
     def _build_dataset(self, split: str):
         dcfg = self.cfg.data
         if dcfg.dataset == "synthetic":
-            rows = 4096 if split == "train" else dcfg.test_rows
-            return SyntheticLatentDataset(
+            rows = dcfg.synthetic_rows if split == "train" else dcfg.test_rows
+            ds = SyntheticLatentDataset(
                 num_rows=rows, latent_shape=dcfg.synthetic_shape,
                 seed=0 if split == "train" else 1,
                 t_choices=dcfg.synthetic_t_choices if split == "train" else (),
             )
-        from video_diffusion_speedrun_tpu.data.dataset import LatentDataset
+        else:
+            from video_diffusion_speedrun_tpu.data.dataset import LatentDataset
 
-        return LatentDataset(split=split, cache_dir=dcfg.cache_dir,
-                             hf_name=dcfg.hf_name)
+            ds = LatentDataset(split=split, cache_dir=dcfg.cache_dir,
+                               hf_name=dcfg.hf_name)
+        if dcfg.embeddings_dir is not None:
+            from video_diffusion_speedrun_tpu.data.embeddings import (
+                PrecomputedEmbeddingJoin,
+            )
+
+            # precomputed shards are written per split dir by convention
+            # (scripts/precompute_embeddings.py --out <dir>/<split>); accept
+            # a flat dir too
+            split_dir = os.path.join(dcfg.embeddings_dir, split)
+            emb_dir = split_dir if os.path.isdir(split_dir) \
+                else dcfg.embeddings_dir
+            ds = PrecomputedEmbeddingJoin(ds, emb_dir)
+        return ds
 
     def _loader(self, split: str) -> Iterator[Dict]:
         dcfg = self.cfg.data
@@ -115,7 +132,10 @@ class Trainer:
             seed=dcfg.shuffle_seed, shuffle=(split == "train"),
         )
         collate = default_collate
-        if dcfg.bucket_by_shape and split == "train":
+        # bucketing applies to BOTH splits: a mixed-length test split would
+        # crash the plain stacking collate at eval just like the reference's
+        # (`utils.py:22`)
+        if dcfg.bucket_by_shape:
             shapes = getattr(ds, "latent_shapes", lambda: None)()
             if shapes is not None:
                 # same seeded shape schedule on every host → every host

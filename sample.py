@@ -42,10 +42,14 @@ sys.path.insert(0, ".")
 @click.option("--name", type=str, default="test")
 @click.option("--random_weights", is_flag=True,
               help="skip checkpoint/T5 (smoke-test the pipeline)")
+@click.option("--mesh_context", type=int, default=1,
+              help="context-parallel axis: shard every DiT forward's token "
+                   "axis over this many chips (ring attention) — long "
+                   "videos whose activations exceed one chip's HBM")
 def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
          num_latent_frames, seed, model_width, model_depth, model_head_dim,
          return_index, rope_order, decoder_weights, output, name,
-         random_weights):
+         random_weights, mesh_context):
     import jax
     import jax.numpy as jnp
 
@@ -112,8 +116,30 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
         encoder = load_encoder()
         context = encoder([prompt], return_index=return_index)
 
+    token_sharding = None
+    if mesh_context > 1:
+        from jax.sharding import NamedSharding
+
+        from video_diffusion_speedrun_tpu.core.config import MeshConfig
+        from video_diffusion_speedrun_tpu.parallel.mesh import (
+            build_mesh, token_pspec,
+        )
+
+        mesh = build_mesh(MeshConfig(replica=1, fsdp=-1,
+                                     context=mesh_context, tensor=1))
+        token_sharding = NamedSharding(mesh, token_pspec())
+        click.echo(f"context-parallel sampling over {mesh.shape}")
+
     click.echo(f"sampling {inference_steps} steps, cfg {cfg_scale} ...")
-    latents = generate_latents(params, model_cfg, context, sampling)
+    latents = generate_latents(params, model_cfg, context, sampling,
+                               token_sharding=token_sharding)
+    if token_sharding is not None:
+        # gather the mesh-sharded trajectory result to one device before the
+        # (single-device) decoder program — feeding it the sharded array
+        # would make XLA reshard inside the decode jit
+        import numpy as np
+
+        latents = jax.device_put(np.asarray(latents))
     click.echo(f"latents {latents.shape}, std {float(latents.std()):.3f}")
 
     decoder_cfg = CosmosDecoderConfig()

@@ -53,7 +53,8 @@ def schedule(num_steps: int, alpha: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model_cfg", "num_steps", "cfg_scale", "alpha")
+    jax.jit, static_argnames=("model_cfg", "num_steps", "cfg_scale", "alpha",
+                              "token_sharding")
 )
 def euler_cfg_sample(
     params,
@@ -65,11 +66,18 @@ def euler_cfg_sample(
     cfg_scale: float = 6.0,
     alpha: float = 8.0,
     rope_jitter_rng: Optional[jax.Array] = None,
+    token_sharding=None,
 ) -> jnp.ndarray:
     """Run the full Euler trajectory; returns fp32 latents (the accumulator).
 
     `latents` [B, C, T, h, w] (bf16 typical), `context` [B, Lc, ctx_dim]
     (the conditional embedding; the uncond branch is zeros, `sample.py:104`).
+
+    `token_sharding` (NamedSharding over [B, L, D], hashable → static)
+    context-parallelizes every DiT forward of the trajectory over the
+    mesh's `context` axis (ring attention) — long videos whose activations
+    exceed one chip sample across the pod. Beyond the reference (its
+    sampler is single-GPU, `sample.py:139-141`).
     """
     b = latents.shape[0]
     ts, dts = schedule(num_steps, alpha)
@@ -103,14 +111,16 @@ def euler_cfg_sample(
             x2 = jnp.concatenate([lat, lat], axis=0)
             t2 = jnp.concatenate([tvec, tvec], axis=0)
             out2 = dit_forward(params, model_cfg, x2, None, t2, rng=r1,
-                               context_kv=ckv)
+                               context_kv=ckv, token_sharding=token_sharding)
             cond, uncond = jnp.split(out2, 2, axis=0)
             out = uncond.astype(jnp.float32) + cfg_scale * (
                 cond.astype(jnp.float32) - uncond.astype(jnp.float32)
             )
         else:
             out = dit_forward(params, model_cfg, lat, None, tvec,
-                              rng=r1, context_kv=ckv).astype(jnp.float32)
+                              rng=r1, context_kv=ckv,
+                              token_sharding=token_sharding,
+                              ).astype(jnp.float32)
 
         acc = acc + dt * out
         return (acc, jrng), None
@@ -127,6 +137,7 @@ def generate_latents(
     context: jnp.ndarray,
     sampling: SamplingConfig,
     rng: Optional[jax.Array] = None,
+    token_sharding=None,
 ) -> jnp.ndarray:
     """Convenience wrapper: seeded init noise → sampled fp32 latents
     (the `generate_image` core, `sample.py:77-159`, minus T5/decoding)."""
@@ -135,5 +146,5 @@ def generate_latents(
     return euler_cfg_sample(
         params, model_cfg, latents, context,
         num_steps=sampling.inference_steps, cfg_scale=sampling.cfg_scale,
-        alpha=sampling.time_shift_alpha,
+        alpha=sampling.time_shift_alpha, token_sharding=token_sharding,
     )

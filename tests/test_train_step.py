@@ -263,3 +263,37 @@ class TestTrainStep:
         # aux re-flattened to full-batch shape
         assert aux_acc["loss_per_sample"].shape == (8,)
         assert aux_acc["timesteps"].shape == (8,)
+
+
+class TestMomentsDtype:
+    def test_bf16_moments_track_fp32_over_20_steps(self):
+        """bf16 Adam-moment storage (the XL one-chip regime) vs fp32
+        moments, 20 full train steps on identical data: the loss curves
+        must stay close (moment MATH is fp32 either way; only storage
+        rounds). Round-2 VERDICT #1's parity condition."""
+        mesh = build_mesh(TINY.mesh)
+        import dataclasses
+
+        cfg32 = TINY
+        cfg16 = dataclasses.replace(
+            TINY, optimizer=dataclasses.replace(
+                TINY.optimizer, moments_dtype=jnp.bfloat16))
+
+        losses = {}
+        for name, cfg in (("fp32", cfg32), ("bf16", cfg16)):
+            init_fn, train_step, _, _ = build_train_step(cfg, mesh)
+            state = init_fn(jax.random.PRNGKey(0))
+            if name == "bf16":
+                mu = state.opt_state.adam.mu["blocks"]["qkv"]["weight"]
+                assert mu.dtype == jnp.bfloat16
+            rng = jax.random.PRNGKey(42)
+            batch = _batch(jax.random.PRNGKey(7))
+            ls = []
+            for _ in range(20):
+                state, m = train_step(state, batch, rng)
+                ls.append(float(m["loss"]))
+            losses[name] = np.asarray(ls)
+        # identical rng/data: same trajectory up to bf16 storage rounding
+        np.testing.assert_allclose(losses["bf16"], losses["fp32"],
+                                   rtol=0.02, atol=0.02)
+        assert losses["bf16"][-1] < losses["bf16"][0]

@@ -205,6 +205,10 @@ class OptimizerConfig:
     eps: float = 1e-8
     # lr multiplier applied to bias/norm/lambda params (`model.py:407`).
     no_decay_lr_mult: float = 0.01
+    # Adam moment storage dtype: None = param dtype (fp32 production);
+    # jnp.bfloat16 halves optimizer HBM (XL one-chip regime). Moment MATH
+    # always runs fp32 with cast-out storage (train/optim.py).
+    moments_dtype: Any = None
     # names treated as embedding-like constants (`train.py:287`).
     constant_param_classes: tuple = ("patch_proj", "context_kv", "positional_embedding")
     # "time"/"modulation" lr override factor (`model.py:447-450`).

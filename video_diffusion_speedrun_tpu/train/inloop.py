@@ -1,0 +1,365 @@
+"""Optimizer-in-backward training step: fuse the muP-AdamW update into a
+hand-rolled reverse scan over DiT blocks.
+
+Why: a standard `value_and_grad` step materializes the FULL gradient tree
+before the optimizer runs — at 2.8B params that is 5.2 GiB of HBM on top of
+params + both Adam moments, which cannot fit one 16 GB v5e no matter the
+moment dtype (measured: 21.3 GiB needed vs 15.75 available). Here each
+block's gradients exist only for the one reverse-scan iteration that
+consumes them: the peak becomes params + moments + ONE block's grads +
+the per-block activation stack. This is the TPU-native analog of torch's
+fuse-optimizer-into-backward hooks; the reference has no equivalent (its
+FSDP shards the same memory across GPUs instead, `model.py:512-542`).
+
+Numerics: identical math to train/optim.py's fused_apply (fp32 moment math,
+cast-out storage, optax op order) — the only differences from the standard
+step are float accumulation order of the shared-input cotangents (t_emb,
+v0) and optional fp8 second-moment storage (below). Equivalence against the
+standard step is asserted in tests/test_inloop.py.
+
+Second-moment factoring (`nu_factored=True`): 2-D block-param `nu` is
+stored rank-1 (Adafactor's factored second moment — per-row and per-column
+EMA means whose outer product / overall mean reconstructs v̂), with
+momentum kept exact — the PaLM-style "Adafactor with momentum". Storage
+for a [r, c] leaf drops from r·c to r + c. 8-bit storage was measured and
+REJECTED on v5e: float8_e4m3fn casts are software-emulated (~409 ms/step
+at 2.8B), and any 1-byte dtype (uint8 log-domain or bit-twiddled u8-float)
+pays the int8 (32, 128)-tile ↔ fp32 relayout, ~400 ms/step — factoring
+costs two small reduces instead. Loss-trajectory tracking vs exact
+moments is tested over 20 steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_diffusion_speedrun_tpu.core.config import (
+    DiTConfig, OptimizerConfig,
+)
+from video_diffusion_speedrun_tpu.models.dit import (
+    _dense,
+    _norm_modulate,
+    block_forward,
+)
+from video_diffusion_speedrun_tpu.models.rope import (
+    random_rope_offsets,
+    rope_cos_sin,
+)
+from video_diffusion_speedrun_tpu.ops.embeddings import timestep_embedding
+from video_diffusion_speedrun_tpu.ops.patchify import patchify, unpatchify
+from video_diffusion_speedrun_tpu.train.loss import sample_timesteps
+from video_diffusion_speedrun_tpu.train.mup import mup_table
+from video_diffusion_speedrun_tpu.train.schedules import get_schedule
+
+_PREFIX_KEYS = ("patch_proj", "register_tokens", "time_embed",
+                "positional_embedding")
+_SUFFIX_KEYS = ("final_modulation", "final_norm", "final_proj")
+
+
+class FNu(NamedTuple):
+    """Factored second moment for a [..., r, c] leaf: per-row and
+    per-column EMA means of grad²; v̂ = vr ⊗ vc / mean(vr)."""
+
+    vr: jnp.ndarray  # [..., r]
+    vc: jnp.ndarray  # [..., c]
+
+
+class InloopOptState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any  # leaves: jnp arrays, or FNu for factored 2-D block leaves
+
+
+def _adamw_leaf(g, m, v, p, lr, wd, *, lr_t, bc1, bc2, b1, b2, eps):
+    """Same math/op-order as train/optim.py fused_apply (fp32, cast-out).
+    FNu leaves use the rank-1 reconstruction v̂ = vr⊗vc/mean(vr) in place
+    of the elementwise second moment (Adafactor; bias correction applies
+    to v̂ since vr, vc, and their ratio all scale with bc2)."""
+    gf = g.astype(jnp.float32)
+    m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+    if isinstance(v, FNu):
+        g2 = jnp.square(gf)
+        vr2 = b2 * v.vr.astype(jnp.float32) + (1.0 - b2) * jnp.mean(g2, -1)
+        vc2 = b2 * v.vc.astype(jnp.float32) + (1.0 - b2) * jnp.mean(g2, -2)
+        denom = jnp.maximum(jnp.mean(vr2, -1, keepdims=True), 1e-30)
+        v2 = vr2[..., :, None] * vc2[..., None, :] / denom[..., None]
+        v2s = FNu(vr2, vc2)
+    else:
+        v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
+        v2s = v2.astype(v.dtype)
+    direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+    p2 = p + (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
+    return p2, m2.astype(m.dtype), v2s
+
+
+def _update_tree(grads, mu, nu, params, lr_tree, wd_tree, **kw):
+    out = jax.tree.map(
+        functools.partial(_adamw_leaf, **kw),
+        grads, mu, nu, params, lr_tree, wd_tree,
+    )
+    treedef = jax.tree.structure(params)
+    leaves = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
+    # leaves alternate as (p2, m2, v2) tuples per param leaf
+    p2 = jax.tree.unflatten(treedef, [l[0] for l in leaves])
+    m2 = jax.tree.unflatten(treedef, [l[1] for l in leaves])
+    v2 = jax.tree.unflatten(treedef, [l[2] for l in leaves])
+    return p2, m2, v2
+
+
+def build_inloop_step(
+    cfg: DiTConfig,
+    ocfg: OptimizerConfig,
+    params_like: Any,
+    max_steps: int = 1000,
+    *,
+    nu_factored: bool = False,
+    nu_factored_min_size: int = 1 << 20,
+    alpha: float = 8.0,
+    caption_dropout: float = 0.01,
+):
+    """Returns (init_opt, step).
+
+    init_opt(params) → InloopOptState (moments in ocfg.moments_dtype or
+    param dtype; 2-D block nu leaves ≥ nu_factored_min_size stored rank-1
+    when nu_factored).
+    step(params, opt, latent, context, rng) → (params, opt, loss) — jit it
+    with donate_argnums=(0, 1).
+    """
+    lr_tree, wd_tree, settings = mup_table(
+        params_like, ocfg.learning_rate, ocfg.weight_decay, ocfg)
+    schedule = get_schedule(ocfg.scheduler, ocfg.warmup_steps, max_steps)
+    b1, b2, eps = ocfg.beta1, ocfg.beta2, ocfg.eps
+    mdt = ocfg.moments_dtype
+
+    def _mzeros(p):
+        return jnp.zeros_like(p, dtype=mdt if mdt is not None else p.dtype)
+
+    def init_opt(params):
+        mu = jax.tree.map(_mzeros, params)
+        if not nu_factored:
+            nu = jax.tree.map(_mzeros, params)
+        else:
+            def nz(path_is_block):
+                def f(p):
+                    # stacked block leaves carry a leading depth axis: a
+                    # per-block 2-D matrix is stacked ndim ≥ 3
+                    if (path_is_block and p.ndim >= 3
+                            and p.size >= nu_factored_min_size):
+                        return FNu(
+                            vr=jnp.zeros(p.shape[:-1], jnp.float32),
+                            vc=jnp.zeros(p.shape[:-2] + p.shape[-1:],
+                                         jnp.float32))
+                    return _mzeros(p)
+                return f
+            nu = {k: jax.tree.map(nz(k == "blocks"), v)
+                  for k, v in params.items()}
+        return InloopOptState(count=jnp.zeros((), jnp.int32), mu=mu, nu=nu)
+
+    def prefix_fn(pp, z_t, timesteps):
+        cdt = cfg.compute_dtype
+        b = z_t.shape[0]
+        tokens = patchify(
+            z_t, pp["patch_proj"]["weight"], pp["patch_proj"].get("bias"),
+            cfg.time_patch_size, cfg.patch_size, compute_dtype=cdt)
+        regs = jnp.broadcast_to(
+            pp["register_tokens"].astype(cdt),
+            (b, cfg.num_registers, cfg.hidden_size))
+        tokens = jnp.concatenate([regs, tokens], axis=1)
+        if not cfg.use_rope:
+            tokens = tokens + pp["positional_embedding"][
+                :, : tokens.shape[1]].astype(cdt)
+        te = timestep_embedding(timesteps, cfg.hidden_size).astype(cdt)
+        te = _dense(pp["time_embed"]["fc2"],
+                    jax.nn.silu(_dense(pp["time_embed"]["fc1"], te, cdt)),
+                    cdt)
+        return tokens, te
+
+    def suffix_fn(sp, tokens, te, v_obj, grid):
+        cdt = cfg.compute_dtype
+        gt, gh, gw = grid
+        toks = tokens[:, cfg.num_registers:, :]
+        fmod = _dense(sp["final_modulation"], jax.nn.silu(te), cdt)
+        f_shift, f_scale = jnp.split(fmod, 2, axis=-1)
+        toks = _norm_modulate(cfg, toks, sp["final_norm"].get("scale"),
+                              f_shift, f_scale)
+        toks = _dense(sp["final_proj"], toks, cdt)
+        out = unpatchify(toks, gt, gh, gw, cfg.time_patch_size,
+                         cfg.patch_size, cfg.out_channels)
+        err = v_obj.astype(jnp.float32) - out.astype(jnp.float32)
+        lps = jnp.mean(jnp.square(err), axis=(1, 2, 3, 4))
+        return jnp.mean(lps), lps
+
+    def step(params, opt: InloopOptState, latent, context, rng):
+        cdt = cfg.compute_dtype
+        t_rng, noise_rng, drop_rng, rope_rng = jax.random.split(rng, 4)
+        b = latent.shape[0]
+        _, _, t_len, h_len, w_len = latent.shape
+        pt, p = cfg.time_patch_size, cfg.patch_size
+        latent = latent[:, :, : t_len // pt * pt, : h_len // p * p,
+                        : w_len // p * p].astype(cdt)
+        timesteps = sample_timesteps(t_rng, b, alpha)
+        noise = jax.random.normal(noise_rng, latent.shape, cdt)
+        if context is not None:
+            context = context.astype(cdt)
+            if caption_dropout > 0:
+                drop = jax.random.uniform(drop_rng, (b,)) < caption_dropout
+                context = jnp.where(drop[:, None, None], 0.0, context)
+        tr = timesteps.astype(cdt).reshape(b, 1, 1, 1, 1)
+        z_t = latent * (1 - tr) + noise * tr
+        v_obj = latent - noise
+
+        gt = latent.shape[2] // pt
+        gh = latent.shape[3] // p
+        gw = latent.shape[4] // p
+        if cfg.use_rope:
+            offs = random_rope_offsets(rope_rng, gt, gh, gw, cfg.rope_max_t,
+                                       cfg.rope_max_h, cfg.rope_max_w)
+            cos, sin = rope_cos_sin(cfg.head_dim, gt, gh, gw, offs,
+                                    base=cfg.rope_base,
+                                    num_registers=cfg.num_registers,
+                                    order=cfg.rope_order)
+        else:
+            cos = sin = None
+
+        pp = {k: params[k] for k in _PREFIX_KEYS if k in params}
+        sp = {k: params[k] for k in _SUFFIX_KEYS if k in params}
+        bp_all = params["blocks"]
+
+        lr_t = schedule(opt.count)
+        count = opt.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        upd_kw = dict(lr_t=lr_t, bc1=bc1, bc2=bc2, b1=b1, b2=b2, eps=eps)
+
+        # ---- forward ----
+        (tokens0, te), vjp_prefix = jax.vjp(
+            lambda pp_: prefix_fn(pp_, z_t, timesteps), pp)
+        ltot = tokens0.shape[1]
+        v0_init = jnp.zeros((b, ltot, cfg.hidden_size), cdt)
+
+        def fwd_body(carry, inp):
+            x, v0 = carry
+            bp, idx = inp
+            x_in = x
+            x, v = block_forward(bp, cfg, x, context, te, cos, sin, v0,
+                                 idx > 0, None, None)
+            v0 = jnp.where(idx == 0, v, v0)
+            return (x, v0), x_in
+
+        (x_last, v0), xs = jax.lax.scan(
+            fwd_body, (tokens0, v0_init),
+            (bp_all, jnp.arange(cfg.depth)))
+
+        # ---- suffix + its vjp ----
+        (loss, lps), vjp_suffix = jax.vjp(
+            lambda sp_, x_, te_: suffix_fn(sp_, x_, te_, v_obj,
+                                           (gt, gh, gw)),
+            sp, x_last, te)
+        dsp, dx, dte = vjp_suffix((jnp.ones((), loss.dtype),
+                                   jnp.zeros_like(lps)))
+
+        # ---- reverse scan: per-block vjp + in-place fused AdamW ----
+        lr_b, wd_b = lr_tree["blocks"], wd_tree["blocks"]
+        mu_b, nu_b = opt.mu["blocks"], opt.nu["blocks"]
+        cdt_ = cdt
+
+        def _take(tree, idx):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, False),
+                tree)
+
+        def _apply_block_update(state, dbp, idx, valid):
+            """Fused AdamW for block `idx`'s slice of the stacked trees,
+            gated by `valid` (the pipeline's priming iteration carries
+            dummy grads that must not touch state)."""
+            bp_all, mu_all, nu_all = state
+            bp = _take(bp_all, idx)
+            mu_i = _take(mu_all, idx)
+            nu_i = _take(nu_all, idx)
+            p2, m2, v2 = _update_tree(dbp, mu_i, nu_i, bp, lr_b, wd_b,
+                                      **upd_kw)
+
+            def put(all_a, new_a, old_a):
+                return jax.lax.dynamic_update_index_in_dim(
+                    all_a, jnp.where(valid, new_a.astype(all_a.dtype),
+                                     old_a.astype(all_a.dtype)), idx, 0)
+
+            bp_all = jax.tree.map(put, bp_all, p2, bp)
+            mu_all = jax.tree.map(put, mu_all, m2, mu_i)
+            nu_all = jax.tree.map(put, nu_all, v2, nu_i)
+            return (bp_all, mu_all, nu_all)
+
+        def bwd_body(carry, inp):
+            # software-pipelined: this iteration applies the update for the
+            # PREVIOUS block (carried grads) while computing this block's
+            # vjp — the two are independent, so the HBM-bound optimizer
+            # traffic overlaps the MXU-bound backward instead of
+            # serializing after it (measured ~150 ms/step serialized at 2.8B)
+            dx, dv0, dte, state, dbp_prev, idx_prev, valid = carry
+            x_in, idx = inp
+
+            bp = _take(state[0], idx)
+            v0_in = jnp.where(idx == 0, jnp.zeros_like(v0), v0)
+
+            def f(bp_, x_, v0_, te_):
+                return block_forward(bp_, cfg, x_, context, te_, cos, sin,
+                                     v0_, idx > 0, None, None)
+
+            _, vjp_f = jax.vjp(f, bp, x_in, v0_in, te)
+            # block 0's v output becomes v0 for every later block: its
+            # cotangent is the accumulated dv0; other blocks' v is unused
+            dv_out = jnp.where(idx == 0, dv0.astype(cdt_),
+                               jnp.zeros_like(v0))
+            dbp, dx_in, dv0_in, dte_i = vjp_f((dx, dv_out))
+            # fp32 accumulators for the shared-input cotangents
+            dv0 = jnp.where(idx == 0, dv0,
+                            dv0 + dv0_in.astype(jnp.float32))
+            dte = dte + dte_i.astype(jnp.float32)
+
+            state = _apply_block_update(state, dbp_prev, idx_prev, valid)
+            return (dx_in, dv0, dte, state, dbp, idx,
+                    jnp.ones((), jnp.bool_)), None
+
+        zero_dbp = jax.tree.map(lambda a: jnp.zeros(a.shape[1:], a.dtype),
+                                bp_all)
+        carry0 = (dx, jnp.zeros(v0.shape, jnp.float32),
+                  dte.astype(jnp.float32), (bp_all, mu_b, nu_b),
+                  zero_dbp, jnp.zeros((), jnp.int32),
+                  jnp.zeros((), jnp.bool_))
+        (dx0, _, dte_total, state, dbp_last, idx_last, valid_last), _ = \
+            jax.lax.scan(bwd_body, carry0,
+                         (xs, jnp.arange(cfg.depth)), reverse=True)
+        # drain the pipeline: block 0's update
+        new_bp, new_mu_b, new_nu_b = _apply_block_update(
+            state, dbp_last, idx_last, valid_last)
+
+        # ---- prefix grads + update; suffix update ----
+        (dpp,) = vjp_prefix((dx0, dte_total.astype(te.dtype)))
+        pp2, mpp2, vpp2 = _update_tree(
+            dpp, {k: opt.mu[k] for k in pp}, {k: opt.nu[k] for k in pp},
+            pp, {k: lr_tree[k] for k in pp}, {k: wd_tree[k] for k in pp},
+            **upd_kw)
+        sp2, msp2, vsp2 = _update_tree(
+            dsp, {k: opt.mu[k] for k in sp}, {k: opt.nu[k] for k in sp},
+            sp, {k: lr_tree[k] for k in sp}, {k: wd_tree[k] for k in sp},
+            **upd_kw)
+
+        new_params = dict(params)
+        new_params.update(pp2)
+        new_params.update(sp2)
+        new_params["blocks"] = new_bp
+        new_mu = dict(opt.mu)
+        new_mu.update(mpp2)
+        new_mu.update(msp2)
+        new_mu["blocks"] = new_mu_b
+        new_nu = dict(opt.nu)
+        new_nu.update(vpp2)
+        new_nu.update(vsp2)
+        new_nu["blocks"] = new_nu_b
+        return new_params, InloopOptState(count, new_mu, new_nu), loss
+
+    return init_opt, step, settings

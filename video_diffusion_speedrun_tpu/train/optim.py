@@ -34,20 +34,55 @@ def mup_adamw(
     b1: float = 0.95,
     b2: float = 0.99,
     eps: float = 1e-8,
+    moments_dtype: Any = None,
 ) -> optax.GradientTransformation:
-    adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+    """`moments_dtype=None` stores Adam moments in the param dtype (fp32 in
+    production); jnp.bfloat16 halves optimizer HBM (the XL one-chip regime)
+    — moment math always runs in fp32 with cast-out storage, so fp32
+    moments are bit-identical to the optax chain (asserted in tests) and
+    bf16 moments differ only by storage rounding (parity-checked over 20
+    steps in test_train_step.py)."""
+
+    def _zeros(p):
+        return jnp.zeros_like(
+            p, dtype=moments_dtype if moments_dtype is not None else p.dtype)
 
     def init_fn(params):
-        return MupAdamWState(count=jnp.zeros((), jnp.int32), adam=adam.init(params))
+        return MupAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            adam=optax.ScaleByAdamState(
+                count=jnp.zeros((), jnp.int32),
+                mu=jax.tree.map(_zeros, params),
+                nu=jax.tree.map(_zeros, params),
+            ),
+        )
 
     def update_fn(grads, state, params):
-        adam_dir, adam_state = adam.update(grads, state.adam, params)
+        count = state.adam.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
         lr_t = schedule_fn(state.count)
-        updates = jax.tree.map(
-            lambda u, p, lr, wd: (-(lr * lr_t) * (u + wd * p)).astype(p.dtype),
-            adam_dir, params, lr_tree, wd_tree,
+
+        def leaf(g, m, v, p, lr, wd):
+            gf = g.astype(jnp.float32)
+            m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+            v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
+            # optax scale_by_adam order: (m/bc1) / (sqrt(v/bc2) + eps)
+            direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            upd = (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
+            return upd, m2.astype(m.dtype), v2.astype(v.dtype)
+
+        out = jax.tree.map(leaf, grads, state.adam.mu, state.adam.nu, params,
+                           lr_tree, wd_tree)
+        treedef = jax.tree.structure(params)
+        leaves = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
+        updates = jax.tree.unflatten(treedef, [l[0] for l in leaves])
+        new_m = jax.tree.unflatten(treedef, [l[1] for l in leaves])
+        new_v = jax.tree.unflatten(treedef, [l[2] for l in leaves])
+        return updates, MupAdamWState(
+            count=state.count + 1,
+            adam=optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v),
         )
-        return updates, MupAdamWState(count=state.count + 1, adam=adam_state)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -85,13 +120,13 @@ def fused_apply(
                                     bc2, b1, b2, eps)
             if out is not None:
                 return out
-        g = g.astype(m.dtype)
-        m2 = b1 * m + (1.0 - b1) * g
-        v2 = b2 * v + (1.0 - b2) * jnp.square(g)
+        gf = g.astype(jnp.float32)
+        m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+        v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
         # optax scale_by_adam order: (m/bc1) / (sqrt(v/bc2) + eps)
         direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
         p2 = p + (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
-        return p2, m2, v2
+        return p2, m2.astype(m.dtype), v2.astype(v.dtype)
 
     out = jax.tree.map(leaf, grads, state.adam.mu, state.adam.nu, params,
                        lr_tree, wd_tree)
@@ -120,6 +155,7 @@ def build_optimizer(
         params, learning_rate, cfg.weight_decay, cfg
     )
     schedule = get_schedule(cfg.scheduler, cfg.warmup_steps, max_steps)
-    tx = mup_adamw(lr_tree, wd_tree, schedule, cfg.beta1, cfg.beta2, cfg.eps)
+    tx = mup_adamw(lr_tree, wd_tree, schedule, cfg.beta1, cfg.beta2, cfg.eps,
+                   moments_dtype=cfg.moments_dtype)
     tx_args = (lr_tree, wd_tree, schedule, cfg.beta1, cfg.beta2, cfg.eps)
     return tx, settings, schedule, tx_args

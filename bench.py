@@ -47,73 +47,85 @@ def main():
         depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
         train_bias_and_rms=False, scan_blocks=False, remat=False,
     )
-    B, C, T, H, W = 8 * n_dev, 16, 8, 32, 32  # batch 8 per chip
     LC = 512
 
-    cfg = TrainConfig(
-        model=model,
-        mesh=MeshConfig(replica=1, fsdp=n_dev, tensor=1),
-        optimizer=OptimizerConfig(learning_rate=2 ** -6, scheduler="linear"),
-        batch_size=B,
-        max_steps=5004,
-        seed=0,
-    )
-    mesh = build_mesh(cfg.mesh)
-    init_fn, train_step, _, _ = build_train_step(cfg, mesh)
-    state = init_fn(jax.random.PRNGKey(0))
+    def measure(T, H, W):
+        B, C = 8 * n_dev, 16  # batch 8 per chip
+        cfg = TrainConfig(
+            model=model,
+            mesh=MeshConfig(replica=1, fsdp=n_dev, tensor=1),
+            optimizer=OptimizerConfig(learning_rate=2 ** -6,
+                                      scheduler="linear"),
+            batch_size=B,
+            max_steps=5004,
+            seed=0,
+        )
+        mesh = build_mesh(cfg.mesh)
+        init_fn, train_step, _, _ = build_train_step(cfg, mesh)
+        state = init_fn(jax.random.PRNGKey(0))
 
-    batch = {
-        "latent": jax.random.normal(jax.random.PRNGKey(1), (B, C, T, H, W),
-                                    jnp.bfloat16),
-        "context": jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096),
-                                     jnp.bfloat16),
-    }
-    rng = jax.random.PRNGKey(3)
+        batch = {
+            "latent": jax.random.normal(jax.random.PRNGKey(1),
+                                        (B, C, T, H, W), jnp.bfloat16),
+            "context": jax.random.normal(jax.random.PRNGKey(2),
+                                         (B, LC, 4096), jnp.bfloat16),
+        }
+        rng = jax.random.PRNGKey(3)
 
-    # Timing methodology: the TPU tunnel in this image makes block_until_ready
-    # unreliable and per-new-program dispatch expensive, so we (a) warm every
-    # program including the scalar readback, then (b) time two window sizes
-    # that both end in the same host readback and difference them — fixed
-    # dispatch/readback latency cancels, leaving pure per-step device time.
-    def run(n_steps, state, rng):
-        for _ in range(n_steps):
-            state, metrics = train_step(state, batch, rng)
-        return state, rng, float(metrics["loss"])
+        # Timing methodology: the TPU tunnel in this image makes
+        # block_until_ready unreliable and per-new-program dispatch
+        # expensive, so we (a) warm every program including the scalar
+        # readback, then (b) time two window sizes that both end in the
+        # same host readback and difference them — fixed dispatch/readback
+        # latency cancels, leaving pure per-step device time.
+        def run(n_steps, state, rng):
+            for _ in range(n_steps):
+                state, metrics = train_step(state, batch, rng)
+            return state, rng, float(metrics["loss"])
 
-    state, rng, loss = run(3, state, rng)  # compile + warm (incl. readback)
+        state, rng, loss = run(3, state, rng)  # compile + warm
 
-    k_small, k_big = 5, 25
-    # min each window size independently over 3 trials, THEN difference:
-    # jitter can only inflate a window, so min() is the clean estimate of
-    # each; differencing per-trial then min()-ing would bias dt low when
-    # noise lands in a small window
-    t_smalls, t_bigs = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state, rng, loss = run(k_small, state, rng)
-        t_smalls.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        state, rng, loss = run(k_big, state, rng)
-        t_bigs.append(time.perf_counter() - t0)
-    dt = (min(t_bigs) - min(t_smalls)) / (k_big - k_small)
+        k_small, k_big = 5, 25
+        # min each window size independently over 3 trials, THEN
+        # difference: jitter can only inflate a window, so min() is the
+        # clean estimate of each; differencing per-trial then min()-ing
+        # would bias dt low when noise lands in a small window
+        t_smalls, t_bigs = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, rng, loss = run(k_small, state, rng)
+            t_smalls.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            state, rng, loss = run(k_big, state, rng)
+            t_bigs.append(time.perf_counter() - t0)
+        dt = (min(t_bigs) - min(t_smalls)) / (k_big - k_small)
 
-    tokens_per_sample = (T // 2) * (H // 2) * (W // 2)
-    tokens_per_sec_per_chip = B * tokens_per_sample / dt / n_dev
-    flops = dit_train_flops(model, B, T, H, W, LC)
-    mfu = flops / dt / (peak_flops_for(device_kind) * n_dev)
+        # odd T floor-crops to the patch multiple (train/loss.py) — count
+        # the tokens/FLOPs the step actually computes
+        Tc = T // model.time_patch_size * model.time_patch_size
+        tokens_per_sample = (Tc // 2) * (H // 2) * (W // 2)
+        tokens_per_sec_per_chip = B * tokens_per_sample / dt / n_dev
+        flops = dit_train_flops(model, B, Tc, H, W, LC)
+        mfu = flops / dt / (peak_flops_for(device_kind) * n_dev)
+        return {
+            "metric": "dit_train_tokens_per_sec_per_chip",
+            "value": round(tokens_per_sec_per_chip, 1),
+            "unit": "latent_tokens/s/chip",
+            "vs_baseline": round(mfu / 0.5, 4),  # vs the 50%-MFU target
+            "mfu": round(mfu, 4),
+            "step_time_ms": round(dt * 1000, 2),
+            "device_kind": device_kind,
+            "n_devices": n_dev,
+            "config": f"width512_depth24_head128_batch8perchip_latent16x{T}x{H}x{W}",
+            "loss": loss,
+        }
 
-    print(json.dumps({
-        "metric": "dit_train_tokens_per_sec_per_chip",
-        "value": round(tokens_per_sec_per_chip, 1),
-        "unit": "latent_tokens/s/chip",
-        "vs_baseline": round(mfu / 0.5, 4),  # vs the 50%-MFU north star
-        "mfu": round(mfu, 4),
-        "step_time_ms": round(dt * 1000, 2),
-        "device_kind": device_kind,
-        "n_devices": n_dev,
-        "config": "width512_depth24_head128_batch8perchip_latent16x8x32x32",
-        "loss": loss,
-    }))
+    # production odd-frame shape first (the real 17-frame 256px Cosmos row
+    # is latent [16,5,32,32] — floor-crop path, round-2 VERDICT weak #5);
+    # the canonical headline prints LAST so drivers parsing the final line
+    # keep the comparable metric
+    print(json.dumps(measure(5, 32, 32)), flush=True)
+    print(json.dumps(measure(8, 32, 32)), flush=True)
 
 
 if __name__ == "__main__":

@@ -27,10 +27,21 @@ B, T, H, W, LC = 2, 16, 64, 64, 512
 
 
 def main():
+    # "full" measures the FULL training step (its own process: the grad-tree
+    # program of the default section holds HBM alongside the train-step
+    # program and the pair RESOURCE_EXHAUSTs a v5e at L=8208)
+    full_step = "full" in sys.argv[1:]
     params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
     lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096), jnp.bfloat16)
     rng = jax.random.PRNGKey(3)
+    fl = dit_train_flops(MODEL, B, T, H, W, LC)
+    peak = peak_flops_for(jax.devices()[0].device_kind)
+    tokens = B * (T // 2) * (H // 2) * (W // 2)
+
+    if full_step:
+        _measure_full_step(params, lat, ctx, rng, fl, peak, tokens)
+        return
 
     def loss(p):
         l, _ = rectified_flow_loss(p, MODEL, lat, ctx, rng)
@@ -49,12 +60,46 @@ def main():
     t0 = time.perf_counter(); run(2); t2 = time.perf_counter() - t0
     t0 = time.perf_counter(); run(8); t8 = time.perf_counter() - t0
     dt = (t8 - t2) / 6
-    fl = dit_train_flops(MODEL, B, T, H, W, LC)
-    peak = peak_flops_for(jax.devices()[0].device_kind)
-    tokens = B * (T // 2) * (H // 2) * (W // 2)
     print(f"long-ctx (L=8208) fwd+bwd: {dt*1000:.2f} ms/step  "
           f"{fl/dt/1e12:.1f} TF/s ({fl/dt/peak*100:.1f}% peak)  "
           f"{tokens/dt:.0f} tok/s", flush=True)
+
+
+def _measure_full_step(params, lat, ctx, rng, fl, peak, tokens):
+    # FULL training step (loss+backward+fused muP-AdamW) at the same
+    # 121-frame-class shape (round-2 VERDICT next #4: BASELINE's
+    # long-context configs had kernel-only numbers)
+    from video_diffusion_speedrun_tpu.core.config import (
+        MeshConfig, OptimizerConfig, TrainConfig,
+    )
+    from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
+    from video_diffusion_speedrun_tpu.train.step import build_train_step
+
+    del params  # init_fn builds its own sharded state
+    cfg = TrainConfig(
+        model=MODEL, mesh=MeshConfig(replica=1, fsdp=1, tensor=1),
+        optimizer=OptimizerConfig(learning_rate=2 ** -6),
+        batch_size=B, max_steps=5004, seed=0,
+    )
+    mesh = build_mesh(cfg.mesh)
+    init_fn, train_step, _, _ = build_train_step(cfg, mesh)
+    state = init_fn(jax.random.PRNGKey(0))
+    batch = {"latent": lat, "context": ctx}
+
+    def run_full(n, state):
+        for _ in range(n):
+            state, metrics = train_step(state, batch, rng)
+        return state, float(metrics["loss"])
+
+    state, _ = run_full(3, state)
+    t0 = time.perf_counter(); state, _ = run_full(2, state)
+    t2 = time.perf_counter() - t0
+    t0 = time.perf_counter(); state, loss = run_full(8, state)
+    t8 = time.perf_counter() - t0
+    dt = (t8 - t2) / 6
+    print(f"long-ctx (L=8208) FULL step: {dt*1000:.2f} ms/step  "
+          f"{fl/dt/1e12:.1f} TF/s ({fl/dt/peak*100:.1f}% peak)  "
+          f"{tokens/dt:.0f} tok/s  loss {loss:.3f}", flush=True)
 
 
 if __name__ == "__main__":

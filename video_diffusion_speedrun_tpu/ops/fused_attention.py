@@ -61,6 +61,17 @@ def _rope_rotate_t(x, cos, sin):
 # ---------------------------------------------------------------------------
 
 
+def _fwd_kernel_nobias(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                       o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                       *, scale, kv_len, block_k):
+    """No-bias arity: the kb operand is OMITTED entirely when unused — even
+    a 16-wide constant-index dummy measured 2x on the long-path forward
+    (1.60 → 3.00 ms at L=8192; it breaks the pipeline's double-buffering)."""
+    _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                None, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                scale=scale, kv_len=kv_len, block_k=block_k, has_bias=False)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                 kb_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 *, scale, kv_len, block_k, has_bias=False):
@@ -136,27 +147,30 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
     nq, nk = lqp // block_q, lkp // block_k
     dh = d // 2
     has_bias = kbias is not None
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
+        pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
+        pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
+        pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
+        pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
+        pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
+        pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
+    ]
+    operands = [qp, kp, vp, cqp, sqp, ckp, skp]
     if has_bias:  # [1, lk] additive mask, block-sliced along kv
-        kb = _pad_dim(kbias, 1, block_k)
-        kb_spec = pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki))
-    else:  # 16-wide dummy, never read (constant index map: one DMA total)
-        kb = jnp.zeros((1, _ALIGN), jnp.float32)
-        kb_spec = pl.BlockSpec((1, _ALIGN), lambda b, h, qi, ki: (0, 0))
+        in_specs.append(
+            pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki)))
+        operands.append(_pad_dim(kbias, 1, block_k))
+        kern = functools.partial(_fwd_kernel, scale=scale, kv_len=lk,
+                                 block_k=block_k, has_bias=True)
+    else:  # no kb operand at all (see _fwd_kernel_nobias)
+        kern = functools.partial(_fwd_kernel_nobias, scale=scale, kv_len=lk,
+                                 block_k=block_k)
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=lk,
-                          block_k=block_k, has_bias=has_bias),
+        kern,
         grid=(b, h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
-            pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
-            pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
-            pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
-            pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
-            pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
-            pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
-            kb_spec,
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
             pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi)),
@@ -180,13 +194,25 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
             transcendentals=b * h * lqp * lkp,
         ),
         interpret=_interpret(),
-    )(qp, kp, vp, cqp, sqp, ckp, skp, kb)
+    )(*operands)
     return o[:, :lq], lse[:, :, :, :lq]
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel_nobias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                           cq_ref, sq_ref, ck_ref, sk_ref,
+                           dk_ref, dv_ref, *refs,
+                           scale, kv_len, block_k, emit_dq=True):
+    """No-bias arity — see _fwd_kernel_nobias."""
+    _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    cq_ref, sq_ref, ck_ref, sk_ref, None,
+                    dk_ref, dv_ref, *refs,
+                    scale=scale, kv_len=kv_len, block_k=block_k,
+                    emit_dq=emit_dq, has_bias=False)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -253,6 +279,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk = _rope_rotate_t(dk_scr[:], ck_ref[:], sk_ref[:])
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel_nobias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          cq_ref, sq_ref, ck_ref, sk_ref,
+                          dq_ref, dq_scr,
+                          *, scale, kv_len, block_k):
+    """No-bias arity — see _fwd_kernel_nobias."""
+    _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   cq_ref, sq_ref, ck_ref, sk_ref, None,
+                   dq_ref, dq_scr,
+                   scale=scale, kv_len=kv_len, block_k=block_k,
+                   has_bias=False)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -333,15 +371,16 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     nq, nk = lqp // block_q, lkp // block_k
     interpret = _interpret()
     has_bias = kbias is not None
-    common = dict(scale=scale, kv_len=lk, block_k=block_k, has_bias=has_bias)
+    common = dict(scale=scale, kv_len=lk, block_k=block_k)
     if has_bias:
-        kb = _pad_dim(kbias, 1, block_k)
-        kb_s = pl.BlockSpec((1, block_k), lambda b, h, ki, qi: (0, ki))
-        kb_s2 = pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki))
-    else:
-        kb = jnp.zeros((1, _ALIGN), jnp.float32)
-        kb_s = pl.BlockSpec((1, _ALIGN), lambda b, h, ki, qi: (0, 0))
-        kb_s2 = pl.BlockSpec((1, _ALIGN), lambda b, h, qi, ki: (0, 0))
+        common["has_bias"] = True
+        kb = [_pad_dim(kbias, 1, block_k)]
+        kb_s = [pl.BlockSpec((1, block_k), lambda b, h, ki, qi: (0, ki))]
+        kb_s2 = [pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki))]
+        dkv_kern, dq_kern = _bwd_dkv_kernel, _bwd_dq_kernel
+    else:  # no kb operand at all (see _fwd_kernel_nobias)
+        kb, kb_s, kb_s2 = [], [], []
+        dkv_kern, dq_kern = _bwd_dkv_kernel_nobias, _bwd_dq_kernel_nobias
 
     qspec = pl.BlockSpec((1, block_q, d), lambda b, h, ki, qi: (b, qi, h))
     kspec = pl.BlockSpec((1, block_k, d), lambda b, h, ki, qi: (b, ki, h))
@@ -354,10 +393,10 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
         dqp_spec = pl.BlockSpec((1, 1, block_q, d),
                                 lambda b, h, ki, qi: (ki, b, qi, h))
         dk, dv, dqp = pl.pallas_call(
-            functools.partial(_bwd_dkv_kernel, **common),
+            functools.partial(dkv_kern, **common),
             grid=(b, h, nk, nq),
             in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
-                      cq_s, cq_s, ck_s, ck_s, kb_s],
+                      cq_s, cq_s, ck_s, ck_s] + kb_s,
             out_specs=(kspec, kspec, dqp_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
@@ -373,15 +412,15 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                                      "arbitrary"),
             ),
             interpret=interpret,
-        )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, kb)
+        )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, *kb)
         dq = dqp.sum(axis=0).astype(q.dtype)
         return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, emit_dq=False, **common),
+        functools.partial(dkv_kern, emit_dq=False, **common),
         grid=(b, h, nk, nq),
         in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
-                  cq_s, cq_s, ck_s, ck_s, kb_s],
+                  cq_s, cq_s, ck_s, ck_s] + kb_s,
         out_specs=(kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
@@ -396,7 +435,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, kb)
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, *kb)
 
     qspec2 = pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h))
     kspec2 = pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h))
@@ -405,10 +444,10 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     cq_s2 = pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0))
     ck_s2 = pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0))
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, **common),
+        functools.partial(dq_kern, **common),
         grid=(b, h, nq, nk),
         in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2,
-                  cq_s2, cq_s2, ck_s2, ck_s2, kb_s2],
+                  cq_s2, cq_s2, ck_s2, ck_s2] + kb_s2,
         out_specs=qspec2,
         out_shape=jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -417,7 +456,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, kb)
+    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, *kb)
     return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
 
@@ -433,20 +472,23 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
 # leave bq ≥ 256 only up to ~2.4k rows — measured against the 16 MB limit
 # (a 2608-row backward compiled to 17.58 MB under cruder accounting).
 SHORT_MAX_KV = 2048
-_VMEM_LIMIT = 15 * 1024 * 1024 + 512 * 1024  # leave ~0.5 MB slack
+_VMEM_LIMIT = 16 * 1024 * 1024  # the compiler's scoped-vmem limit
 _ALIGN = 16  # sublane multiple for bf16 blocks (fp32 needs only 8)
 
 
 def _short_row_budget(lk: int, for_bwd: bool, d: int) -> int:
     """Max q rows whose VMEM working set fits. Peak logits liveness: fwd
-    max(s+p)=6 B; bwd max(s+p, p+dp+ds)=9 B (s dies into p; p/dp die into
-    ds). lk-proportional residents — double-buffered k/v in (and dk/dv out
-    + fp32 scratch on the bwd) plus double-buffered rope tables — are
+    8 B (the current compiler keeps s AND p resident as fp32 — a long-q
+    cross kernel measured 18.23M at the old 6 B/logit budget after a
+    toolchain update); bwd 10.5 B (same kernels measured ~10.3 B/logit;
+    10.5 still keeps the canonical L=1056 backward a single whole-L
+    block). lk-proportional residents — double-buffered k/v in (and dk/dv
+    out + fp32 scratch on the bwd) plus double-buffered rope tables — are
     subtracted from the limit (≈4 KB/row at d=128 on the bwd)."""
-    per_logit = 9 if for_bwd else 6
+    per_logit = 10.5 if for_bwd else 8.0
     fixed = lk * d * ((8 + 8 + 8) if for_bwd else 8) + lk * (d // 2) * 16
     budget = max(per_logit * lk * _ALIGN, _VMEM_LIMIT - fixed)
-    return max(_ALIGN, budget // (per_logit * lk))
+    return max(_ALIGN, int(budget / (per_logit * lk)))
 
 
 def _short_block_q(lq: int, lk: int, for_bwd: bool, d: int = 128) -> int:

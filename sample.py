@@ -46,10 +46,15 @@ sys.path.insert(0, ".")
               help="context-parallel axis: shard every DiT forward's token "
                    "axis over this many chips (ring attention) — long "
                    "videos whose activations exceed one chip's HBM")
+@click.option("--steps_per_call", type=int, default=None,
+              help="split the Euler trajectory into chunks of this many "
+                   "steps per device program (identical numerics); use for "
+                   "long videos where one 50-step program would run past "
+                   "the TPU runtime's ~1-2 min execution watchdog")
 def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
          num_latent_frames, seed, model_width, model_depth, model_head_dim,
          return_index, rope_order, decoder_weights, output, name,
-         random_weights, mesh_context):
+         random_weights, mesh_context, steps_per_call):
     import jax
     import jax.numpy as jnp
 
@@ -132,7 +137,8 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
 
     click.echo(f"sampling {inference_steps} steps, cfg {cfg_scale} ...")
     latents = generate_latents(params, model_cfg, context, sampling,
-                               token_sharding=token_sharding)
+                               token_sharding=token_sharding,
+                               steps_per_call=steps_per_call)
     if token_sharding is not None:
         # gather the mesh-sharded trajectory result to one device before the
         # (single-device) decoder program — feeding it the sharded array

@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 
 
-def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16):
+def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16,
+         steps_per_call=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from video_diffusion_speedrun_tpu.core.config import (
@@ -45,7 +46,8 @@ def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16):
 
     def run():
         out = euler_cfg_sample(params, model_cfg, latents, context,
-                               num_steps=steps, cfg_scale=6.0)
+                               num_steps=steps, cfg_scale=6.0,
+                               steps_per_call=steps_per_call)
         return float(out.ravel()[0])
 
     t0 = time.perf_counter(); run()
@@ -82,4 +84,21 @@ def main(width=2048, depth=24, steps=50, height=512, width_px=512, frames=16):
 
 
 if __name__ == "__main__":
-    main()
+    # argv: [frames [height width_px [steps [steps_per_call]]]] — e.g.
+    # `32 512 512 50 10` is the 125-output-frame long-video shape
+    # (L = 16*32*32 = 16384+16 tokens), chunked 10 steps/program (one
+    # un-chunked 50-step program runs ~100 s at this shape and trips the
+    # runtime's execution watchdog)
+    import sys as _sys
+
+    _a = [int(x) for x in _sys.argv[1:]]
+    kw = {}
+    if len(_a) >= 1:
+        kw["frames"] = _a[0]
+    if len(_a) >= 3:
+        kw["height"], kw["width_px"] = _a[1], _a[2]
+    if len(_a) >= 4:
+        kw["steps"] = _a[3]
+    if len(_a) >= 5:
+        kw["steps_per_call"] = _a[4]
+    main(**kw)

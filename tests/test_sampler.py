@@ -67,6 +67,32 @@ class TestSampler:
         assert np.isfinite(np.asarray(out)).all()
         assert not np.allclose(np.asarray(out), np.asarray(lat), atol=1e-4)
 
+    def test_chunked_equals_whole_trajectory(self):
+        """steps_per_call splits the trajectory into several device programs
+        but must be numerically identical to the single-program path (it
+        exists to duck the TPU runtime's per-execution watchdog on long
+        videos — see euler_cfg_sample docstring)."""
+        params, lat, ctx = _setup()
+        whole = euler_cfg_sample(params, TINY, lat, ctx, num_steps=6,
+                                 cfg_scale=6.0)
+        for spc in (1, 2, 4):  # incl. a ragged final chunk (4 -> 4+2)
+            chunked = euler_cfg_sample(params, TINY, lat, ctx, num_steps=6,
+                                       cfg_scale=6.0, steps_per_call=spc)
+            np.testing.assert_array_equal(np.asarray(whole),
+                                          np.asarray(chunked))
+
+    def test_chunked_jitter_rng_carries(self):
+        """With rope_jitter_rng, the rng chain must thread across chunks so
+        chunked == whole still holds."""
+        params, lat, ctx = _setup()
+        key = jax.random.PRNGKey(7)
+        whole = euler_cfg_sample(params, TINY, lat, ctx, num_steps=4,
+                                 cfg_scale=6.0, rope_jitter_rng=key)
+        chunked = euler_cfg_sample(params, TINY, lat, ctx, num_steps=4,
+                                   cfg_scale=6.0, rope_jitter_rng=key,
+                                   steps_per_call=2)
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+
     def test_cfg_scale_one_skips_uncond(self):
         """cfg≤1 runs a single branch (`sample.py:140` gates on cfg>1)."""
         params, lat, ctx = _setup()

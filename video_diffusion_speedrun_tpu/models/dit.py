@@ -215,13 +215,17 @@ def _use_fused_attention(cfg: DiTConfig, seq_len: int, cos,
     L, PERFORMANCE.md). Under context parallelism the kernel runs as a
     ppermute ring inside shard_map (cp_rope_flash_attention); the ring
     kernels are RoPE-fused, so a use_rope=False model under CP takes the
-    XLA path instead."""
+    XLA path instead. The flat-head [B, L, H*D] layout blocks the lane
+    dimension by head_dim, and Pallas requires lane blocks to be 128-
+    aligned — "auto" falls back to XLA for head_dim % 128 != 0 (tiny/test
+    configs); explicit "pallas" still raises so a misconfigured production
+    run fails loudly instead of silently losing the kernel."""
     if cos is None and cp_enabled:
         return False
     if cfg.attention_impl == "pallas":
         return True
     if cfg.attention_impl == "auto":
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0
     return False
 
 

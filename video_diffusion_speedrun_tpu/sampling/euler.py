@@ -53,55 +53,35 @@ def schedule(num_steps: int, alpha: float):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model_cfg", "num_steps", "cfg_scale", "alpha",
-                              "token_sharding")
+    jax.jit, static_argnames=("model_cfg", "cfg_scale", "lat_dtype",
+                              "use_jitter", "token_sharding")
 )
-def euler_cfg_sample(
+def _euler_chunk(
     params,
     model_cfg: DiTConfig,
-    latents: jnp.ndarray,
-    context: jnp.ndarray,
+    acc0: jnp.ndarray,
+    ckv,
+    ts: jnp.ndarray,
+    dts: jnp.ndarray,
+    jrng0: jax.Array,
     *,
-    num_steps: int = 50,
-    cfg_scale: float = 6.0,
-    alpha: float = 8.0,
-    rope_jitter_rng: Optional[jax.Array] = None,
+    cfg_scale: float,
+    lat_dtype,
+    use_jitter: bool,
     token_sharding=None,
-) -> jnp.ndarray:
-    """Run the full Euler trajectory; returns fp32 latents (the accumulator).
-
-    `latents` [B, C, T, h, w] (bf16 typical), `context` [B, Lc, ctx_dim]
-    (the conditional embedding; the uncond branch is zeros, `sample.py:104`).
-
-    `token_sharding` (NamedSharding over [B, L, D], hashable → static)
-    context-parallelizes every DiT forward of the trajectory over the
-    mesh's `context` axis (ring attention) — long videos whose activations
-    exceed one chip sample across the pod. Beyond the reference (its
-    sampler is single-GPU, `sample.py:139-141`).
-    """
-    b = latents.shape[0]
-    ts, dts = schedule(num_steps, alpha)
-    acc0 = latents.astype(jnp.float32)
+):
+    """scan a slice of the trajectory; one compiled program serves every
+    equal-length slice (ts/dts are runtime arrays)."""
+    b = acc0.shape[0]
     do_cfg = cfg_scale > 1.0
-
-    # the context is constant across the whole trajectory: project each
-    # layer's cross-attention K/V once instead of per step (the reference
-    # reprojects in all 2×50 forwards, `sample.py:139-141`)
-    ckv = None
-    if model_cfg.cross_attn_input_size is not None:
-        if do_cfg:
-            ctx2 = jnp.concatenate([context, jnp.zeros_like(context)], axis=0)
-            ckv = precompute_context_kv(params, model_cfg, ctx2)
-        else:
-            ckv = precompute_context_kv(params, model_cfg, context)
 
     def step(carry, inputs):
         acc, jrng = carry
         t, dt = inputs
-        lat = acc.astype(latents.dtype)
+        lat = acc.astype(lat_dtype)
         tvec = jnp.full((b,), t, jnp.float32)
 
-        if rope_jitter_rng is not None:
+        if use_jitter:
             jrng, r1 = jax.random.split(jrng)
         else:
             r1 = None
@@ -125,9 +105,67 @@ def euler_cfg_sample(
         acc = acc + dt * out
         return (acc, jrng), None
 
-    jrng0 = (rope_jitter_rng if rope_jitter_rng is not None
-             else jax.random.PRNGKey(0))
-    (acc, _), _ = jax.lax.scan(step, (acc0, jrng0), (ts, dts))
+    (acc, jrng), _ = jax.lax.scan(step, (acc0, jrng0), (ts, dts))
+    return acc, jrng
+
+
+def euler_cfg_sample(
+    params,
+    model_cfg: DiTConfig,
+    latents: jnp.ndarray,
+    context: jnp.ndarray,
+    *,
+    num_steps: int = 50,
+    cfg_scale: float = 6.0,
+    alpha: float = 8.0,
+    rope_jitter_rng: Optional[jax.Array] = None,
+    token_sharding=None,
+    steps_per_call: Optional[int] = None,
+) -> jnp.ndarray:
+    """Run the full Euler trajectory; returns fp32 latents (the accumulator).
+
+    `latents` [B, C, T, h, w] (bf16 typical), `context` [B, Lc, ctx_dim]
+    (the conditional embedding; the uncond branch is zeros, `sample.py:104`).
+
+    `token_sharding` (NamedSharding over [B, L, D], hashable → static)
+    context-parallelizes every DiT forward of the trajectory over the
+    mesh's `context` axis (ring attention) — long videos whose activations
+    exceed one chip sample across the pod. Beyond the reference (its
+    sampler is single-GPU, `sample.py:139-141`).
+
+    `steps_per_call` splits the trajectory into several invocations of one
+    compiled chunk program (identical numerics — the accumulator and
+    jitter rng carry across chunks). Use when a single device program
+    would run for minutes: some TPU runtimes watchdog-kill executions at
+    the ~1-2 minute mark (a 121-frame-class 512p 50-step trajectory at
+    2.8B is ~2 s/step = ~100 s in one program). Default None = whole
+    trajectory as one program.
+    """
+    ts, dts = schedule(num_steps, alpha)
+    acc = latents.astype(jnp.float32)
+    do_cfg = cfg_scale > 1.0
+
+    # the context is constant across the whole trajectory: project each
+    # layer's cross-attention K/V once instead of per step (the reference
+    # reprojects in all 2×50 forwards, `sample.py:139-141`)
+    ckv = None
+    if model_cfg.cross_attn_input_size is not None:
+        if do_cfg:
+            ctx2 = jnp.concatenate([context, jnp.zeros_like(context)], axis=0)
+            ckv = precompute_context_kv(params, model_cfg, ctx2)
+        else:
+            ckv = precompute_context_kv(params, model_cfg, context)
+
+    jrng = (rope_jitter_rng if rope_jitter_rng is not None
+            else jax.random.PRNGKey(0))
+    common = dict(cfg_scale=cfg_scale, lat_dtype=latents.dtype,
+                  use_jitter=rope_jitter_rng is not None,
+                  token_sharding=token_sharding)
+    spc = num_steps if steps_per_call is None else max(1, steps_per_call)
+    for lo in range(0, num_steps, spc):
+        hi = min(lo + spc, num_steps)
+        acc, jrng = _euler_chunk(params, model_cfg, acc, ckv,
+                                 ts[lo:hi], dts[lo:hi], jrng, **common)
     return acc
 
 
@@ -138,6 +176,7 @@ def generate_latents(
     sampling: SamplingConfig,
     rng: Optional[jax.Array] = None,
     token_sharding=None,
+    steps_per_call: Optional[int] = None,
 ) -> jnp.ndarray:
     """Convenience wrapper: seeded init noise → sampled fp32 latents
     (the `generate_image` core, `sample.py:77-159`, minus T5/decoding)."""
@@ -147,4 +186,5 @@ def generate_latents(
         params, model_cfg, latents, context,
         num_steps=sampling.inference_steps, cfg_scale=sampling.cfg_scale,
         alpha=sampling.time_shift_alpha, token_sharding=token_sharding,
+        steps_per_call=steps_per_call,
     )

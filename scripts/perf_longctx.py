@@ -30,7 +30,17 @@ def main():
     # "full" measures the FULL training step (its own process: the grad-tree
     # program of the default section holds HBM alongside the train-step
     # program and the pair RESOURCE_EXHAUSTs a v5e at L=8208)
+    # "remat=<policy>" switches loss+backward to scan+remat with that
+    # policy (e.g. remat=attn saves the flash o/lse instead of re-running
+    # the O(L²) kernel); "b=<N>" overrides the batch.
+    global MODEL, B
     full_step = "full" in sys.argv[1:]
+    for a in sys.argv[1:]:
+        if a.startswith("remat="):
+            MODEL = MODEL.replace(scan_blocks=True, remat=True,
+                                  remat_policy=a.split("=", 1)[1])
+        elif a.startswith("b="):
+            B = int(a.split("=", 1)[1])
     params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
     lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096), jnp.bfloat16)

@@ -100,6 +100,10 @@ def main():
         (False, True, "nothing", 1),
         (True, True, "dots", 4),
         (True, True, "nothing", 8),
+        (True, True, "attn", 4),       # 8: save flash o/lse, skip L² recompute
+        (True, True, "attn", 8),
+        (True, True, "dots_attn", 4),
+        (True, True, "dots_attn", 2),
     ]
     pick = [int(a) for a in sys.argv[1:]] or range(len(configs))
     for i in pick:

@@ -87,6 +87,29 @@ class TestDiT:
         b = dit_forward(params, cfg_b, x, ctx, ts)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    @pytest.mark.parametrize("policy", ["attn", "dots_attn"])
+    def test_attn_remat_policy_grad_matches(self, policy):
+        """The attn-saving remat policies (save the flash kernel's named
+        o/lse outputs instead of re-running the O(L²) kernel in the
+        backward) must be a pure scheduling change: same loss, same grads
+        as remat=False. Runs the Pallas path (interpret mode on CPU) so
+        the checkpoint_name tags are actually in the jaxpr."""
+        cfg_a = TINY.replace(remat=True, remat_policy=policy,
+                             attention_impl="pallas")
+        cfg_b = TINY.replace(remat=False, attention_impl="pallas")
+        params = _unzero(init_dit(jax.random.PRNGKey(1), cfg_a))
+        x, ctx, ts = _inputs(cfg_a)
+
+        def loss(p, cfg):
+            return jnp.mean(dit_forward(p, cfg, x, ctx, ts) ** 2)
+
+        la, ga = jax.value_and_grad(lambda p: loss(p, cfg_a))(params)
+        lb, gb = jax.value_and_grad(lambda p: loss(p, cfg_b))(params)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+        for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       atol=2e-5)
+
     def test_rope_offset_changes_output(self):
         """Crop-offset augmentation must change positions (and thus outputs)."""
         params = _unzero(init_dit(jax.random.PRNGKey(1), TINY))

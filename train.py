@@ -85,6 +85,13 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
                    "slower compile, more memory)")
 @click.option("--remat", type=bool, default=True,
               help="gradient checkpointing (False at small scale is faster)")
+@click.option("--remat_policy", type=click.Choice(
+                  ["nothing", "dots", "attn", "dots_attn"]),
+              default="nothing",
+              help="what the checkpointed backward may reuse: 'dots' saves "
+                   "matmul outputs; 'attn' saves the flash kernel's o/lse "
+                   "(skips the O(L²) recompute — the long-context policy); "
+                   "'dots_attn' both")
 @click.option("--platform", type=str, default=None,
               help="force a jax platform (e.g. 'cpu' for the virtual-device "
                    "sim; this image's sitecustomize ignores JAX_PLATFORMS)")
@@ -96,7 +103,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          mesh_replica,
          mesh_fsdp, mesh_context, mesh_tensor, use_t5, embeddings_dir, seed,
          use_wandb, grad_accum, allow_random_context, scan_blocks, remat,
-         platform):
+         remat_policy, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
@@ -124,6 +131,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
         cross_attn_input_size=4096, residual_v=True,
         train_bias_and_rms=train_bias_and_rms, use_rope=True,
         rope_order=rope_order, scan_blocks=scan_blocks, remat=remat,
+        remat_policy=remat_policy,
     )
     cfg = TrainConfig(
         model=model,

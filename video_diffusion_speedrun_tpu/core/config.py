@@ -71,7 +71,9 @@ class DiTConfig:
     scan_blocks: bool = True
     remat: bool = True
     # remat policy: "nothing" (recompute all) | "dots" (save matmul outputs —
-    # cheaper backward, more activation memory)
+    # cheaper backward, more activation memory) | "attn" (save only the flash
+    # kernel outputs o/lse — skips the O(L²) kernel recompute for a few MB
+    # per block; the long-context policy) | "dots_attn" (both)
     remat_policy: str = "nothing"
 
     def __post_init__(self):

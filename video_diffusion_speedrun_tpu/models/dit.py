@@ -464,9 +464,20 @@ def dit_forward(
 
     block_fn = block_forward
     if cfg.remat:
+        # "attn"/"dots_attn" additionally save the flash kernel outputs
+        # (named in ops/fused_attention._name_attn_residuals): the `dots`
+        # policy cannot see them (a pallas_call is not a dot), so any
+        # dots/nothing remat re-executes the O(L²) forward kernel in the
+        # backward — the dominant recompute at long context.
         policy = {
             "nothing": jax.checkpoint_policies.nothing_saveable,
             "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            "attn": jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_lse"),
+            "dots_attn": jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "attn_lse")),
         }[cfg.remat_policy]
         block_fn = jax.checkpoint(
             block_forward,

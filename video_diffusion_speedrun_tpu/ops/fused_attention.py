@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,6 +41,20 @@ DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain (native VPU op)
+
+
+def _name_attn_residuals(o, lse):
+    """Tag the kernel outputs for `jax.checkpoint` save policies.
+
+    Under gradient checkpointing the backward re-runs the block forward to
+    regenerate residuals — including this O(L²) kernel, whose recompute
+    dominates at long context (the `dots` policy does not catch it: a
+    pallas_call is not a dot primitive). Naming o/lse lets the `attn` /
+    `dots_attn` policies (models/dit.py) save exactly these two arrays
+    (~L·width bf16 + L·H fp32 per block — a few MB) so the backward reuses
+    them and recomputes only the cheap projections."""
+    return (_checkpoint_name(o, "attn_out"),
+            _checkpoint_name(lse, "attn_lse"))
 
 
 def _rope_rotate(x, cos, sin):
@@ -722,6 +737,7 @@ def _qkv_rope_flash_fwd(qkv, v, cos_q, sin_q, cos_k, sin_k, h, scale,
                         use_rope):
     o, lse = _forward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h,
                                 scale, use_rope)
+    o, lse = _name_attn_residuals(o, lse)
     return o, (qkv, v, cos_q, sin_q, cos_k, sin_k, o, lse)
 
 
@@ -1111,6 +1127,7 @@ def _ring_attention_vjp_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, h,
                             scale, axis_name, cp):
     o, lse = _ring_attention_fwd_impl(q, k, v, cos_q, sin_q, cos_k, sin_k,
                                       kbias, h, scale, axis_name, cp)
+    o, lse = _name_attn_residuals(o, lse)
     return o, (q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse)
 
 
@@ -1165,6 +1182,7 @@ def _rope_flash_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q,
     else:
         o, lse = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
                           block_q, block_k)
+    o, lse = _name_attn_residuals(o, lse)
     return o, (q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse)
 
 
@@ -1283,7 +1301,6 @@ def cp_rope_flash_attention(
     merge — per-chip k/v memory is O(L/cp), unlike the previous all-gather
     path (round-1 VERDICT item 6). Token counts need not divide the axis:
     the tail pads to cp·16 and is masked by a traveling additive kv-bias."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from video_diffusion_speedrun_tpu.parallel.mesh import (
@@ -1315,11 +1332,11 @@ def cp_rope_flash_attention(
 
     tok = P(DATA_AXES, AXIS_CONTEXT, None)
     rope_spec = P(AXIS_CONTEXT, None)
-    out = shard_map(
+    out = jax.shard_map(
         local, mesh=mesh,
         in_specs=(tok, tok, tok, rope_spec, rope_spec,
                   P(AXIS_CONTEXT, None, None)),
         out_specs=tok,
-        check_rep=False,
+        check_vma=False,
     )(qp, kp, vp, cosp, sinp, kbias)
     return out[:, :lq]

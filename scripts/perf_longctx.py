@@ -8,6 +8,9 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 import jax.numpy as jnp
 
 from video_diffusion_speedrun_tpu.core.config import DiTConfig

@@ -102,7 +102,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     q = q_ref[0].astype(jnp.float32)   # [bq, D]
     k = k_ref[0].astype(jnp.float32)   # [bk, D]
     v = v_ref[0]                        # [bk, D]
-    bq = q.shape[0]
 
     q = _rope_rotate(q, cq_ref[:], sq_ref[:])
     k = _rope_rotate(k, ck_ref[:], sk_ref[:])
@@ -139,8 +138,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     def _():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        # LSE stays in the exp2 domain (internal to this custom VJP)
-        lse_ref[0, 0, 0] = (m_scr[:, :1] + jnp.log2(l)).reshape(bq)
+        # LSE stays in the exp2 domain (internal to this custom VJP).
+        # Column layout [b,h,L,1] at the KERNEL boundary (same as the short
+        # path): block_q sits in the sublane dim, so it needs only
+        # 8-alignment — which lets fit_block_div tile ragged L (e.g.
+        # 8208 = 9×912) exactly instead of padding to the next 128-multiple
+        # per block (8208 → 9216: +27% tiles on both grid axes). The
+        # function boundary squeezes to [b,h,L]: keeping the 4-D form in
+        # the saved residual OOMed the L=8208 full step.
+        lse_ref[0, 0] = m_scr[:, :1] + jnp.log2(l)
 
 
 def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
@@ -148,8 +154,14 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
-    block_q = _fit_block(lq, block_q)
-    block_k = _fit_block(lk, block_k)
+    has_bias = kbias is not None
+    # prefer exact divisor blocks (16-aligned — block_q/block_k only ever
+    # sit in sublane dims) so ragged video lengths (L = tokens + registers,
+    # e.g. 8208) tile with zero padding; fall back to minimal 128-pad blocks.
+    # The kbias row [1, lk] puts block_k in LANES → 128-mult when present.
+    block_q = _fit_block_div(lq, block_q, align=_ALIGN)
+    block_k = (_fit_block(lk, block_k) if has_bias
+               else _fit_block_div(lk, block_k, align=_ALIGN))
 
     qp = _pad_dim(q, 1, block_q)
     kp = _pad_dim(k, 1, block_k)
@@ -161,7 +173,6 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
     dh = d // 2
-    has_bias = kbias is not None
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
         pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
@@ -188,11 +199,11 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, qi, ki: (b, h, 0, qi)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, qi, ki: (b, h, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
-            jax.ShapeDtypeStruct((b, h, 1, lqp), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, lqp, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -210,7 +221,8 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
         ),
         interpret=_interpret(),
     )(*operands)
-    return o[:, :lq], lse[:, :, :, :lq]
+    # boundary layout: [b, h, L] (the 4-D kernel layout is internal)
+    return o[:, :lq], lse[:, :, :lq, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -256,9 +268,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
     v = v_ref[0]
     do = do_ref[0]
-    bq = q.shape[0]
-    lse = lse_ref[0, 0, 0].reshape(bq, 1)
-    delta = delta_ref[0, 0, 0].reshape(bq, 1)
+    lse = lse_ref[0, 0]      # [bq, 1] — column layout (see forward)
+    delta = delta_ref[0, 0]
 
     qc = q.astype(v.dtype)
     kc = k.astype(v.dtype)
@@ -326,9 +337,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
     v = v_ref[0]
     do = do_ref[0]
-    bq = q.shape[0]
-    lse = lse_ref[0, 0, 0].reshape(bq, 1)
-    delta = delta_ref[0, 0, 0].reshape(bq, 1)
+    lse = lse_ref[0, 0]      # [bq, 1] — column layout (see forward)
+    delta = delta_ref[0, 0]
 
     qc = q.astype(v.dtype)
     kc = k.astype(v.dtype)
@@ -364,18 +374,25 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
-    block_q = _fit_block(lq, block_q)
-    block_k = _fit_block(lk, block_k)
+    has_bias = kbias is not None
+    # divisor blocks (see _forward) — block_q/block_k live in sublane dims
+    # everywhere; only the kbias row pins block_k to lanes (128-mult).
+    # fp32 inputs double the double-buffered operand windows: at
+    # (1024, 1024) the dkv kernel measures ~292 KB over the 16 MB scoped
+    # budget, so cap fp32 blocks at 768 (bf16 production path unaffected).
+    if q.dtype.itemsize >= 4:
+        block_q, block_k = min(block_q, 768), min(block_k, 768)
+    block_q = _fit_block_div(lq, block_q, align=_ALIGN)
+    block_k = (_fit_block(lk, block_k) if has_bias
+               else _fit_block_div(lk, block_k, align=_ALIGN))
     dh = d // 2
 
     dof = do.astype(jnp.float32).reshape(b, lq, h, d)
     of = o.astype(jnp.float32).reshape(b, lq, h, d)
-    delta = jnp.einsum("blhd,blhd->bhl", dof, of)[:, :, None, :]
+    delta = jnp.einsum("blhd,blhd->bhl", dof, of)
 
     qp = _pad_dim(q, 1, block_q)
     dop = _pad_dim(do, 1, block_q)
-    lsep = _pad_dim(lse, 3, block_q)
-    deltap = _pad_dim(delta, 3, block_q)
     kp = _pad_dim(k, 1, block_k)
     vp = _pad_dim(v, 1, block_k)
     cqp = _pad_dim(cos_q, 0, block_q)
@@ -384,8 +401,11 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     skp = _pad_dim(sin_k, 0, block_k)
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
+    # lse/delta enter at the boundary layout [b,h,L]; the kernels read the
+    # 4-D column layout [b,h,Lp,1] (block_q in sublanes — no 128 constraint)
+    lsep = _pad_dim(lse, 2, block_q)[..., None]
+    deltap = _pad_dim(delta, 2, block_q)[..., None]
     interpret = _interpret()
-    has_bias = kbias is not None
     common = dict(scale=scale, kv_len=lk, block_k=block_k)
     if has_bias:
         common["has_bias"] = True
@@ -399,7 +419,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
 
     qspec = pl.BlockSpec((1, block_q, d), lambda b, h, ki, qi: (b, qi, h))
     kspec = pl.BlockSpec((1, block_k, d), lambda b, h, ki, qi: (b, ki, h))
-    lspec = pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ki, qi: (b, h, 0, qi))
+    lspec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, ki, qi: (b, h, qi, 0))
     cq_s = pl.BlockSpec((block_q, dh), lambda b, h, ki, qi: (qi, 0))
     ck_s = pl.BlockSpec((block_k, dh), lambda b, h, ki, qi: (ki, 0))
 
@@ -454,8 +474,8 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
 
     qspec2 = pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h))
     kspec2 = pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h))
-    lspec2 = pl.BlockSpec((1, 1, 1, block_q),
-                          lambda b, h, qi, ki: (b, h, 0, qi))
+    lspec2 = pl.BlockSpec((1, 1, block_q, 1),
+                          lambda b, h, qi, ki: (b, h, qi, 0))
     cq_s2 = pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0))
     ck_s2 = pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0))
     dq = pl.pallas_call(
@@ -976,7 +996,7 @@ def _ring_chunk_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, h, scale):
         # blocked fallback: full-k residents would blow VMEM at this chunk
         o, lse = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
                           DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, kbias=kbias)
-        return o, lse[:, :, 0, :, None]  # [b,h,1,lq] → ring layout [b,h,lq,1]
+        return o, lse[..., None]  # [b,h,lq] → ring layout [b,h,lq,1]
     # pick a block within budget; pad q to a block multiple when lq has no
     # 16-aligned divisor in budget (fit_block_div's fallback is NOT a
     # divisor — unpadded, tail q rows would silently never be computed)
@@ -1025,10 +1045,9 @@ def _ring_chunk_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, kbias, o, lse, do,
     lk = k.shape[1]
     if lk > _RING_FULLK_MAX_BWD:
         # blocked fallback (full k/v + fp32 dk/dv scratch would blow VMEM);
-        # the long-path backward takes lse as [b, h, 1, lq]
-        lse_long = lse[:, :, :, 0][:, :, None, :]
+        # the long-path backward takes lse at the boundary layout [b,h,lq]
         return _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o,
-                         lse_long, do, scale, DEFAULT_BLOCK_Q,
+                         lse[..., 0], do, scale, DEFAULT_BLOCK_Q,
                          DEFAULT_BLOCK_K, kbias=kbias)
     block_q = _fit_block_div(lq, _short_row_budget(lk, True, d),
                              align=_ALIGN)

@@ -24,7 +24,6 @@ def main():
     cos, sin = rope_cos_sin(D, 8, 32, 32, jnp.zeros(3, jnp.int32), num_registers=0)
     from video_diffusion_speedrun_tpu.ops.fused_attention import rope_flash_attention
     fwd_flops = 4 * B * H * L * L * D
-    import itertools
     pick = sys.argv[1:]
     combos = ([tuple(int(x) for x in a.split("x")) for a in pick] if pick
               else [(1024, 1024), (512, 2048), (2048, 512), (512, 1024),

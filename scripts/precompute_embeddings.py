@@ -2,8 +2,9 @@
 
 The reference re-encodes every caption on-device every step
 (`/root/reference/train.py:77-84`) — a major step-time sink it never avoids.
-This tool encodes a dataset split once and writes sharded .npz files the
-training loader can attach as a precomputed `context` key.
+This tool encodes a dataset split once and writes raw .npy shards plus a
+manifest.json (split + coverage) the training loader mmap-joins as a
+precomputed `context` key (data/embeddings.py).
 
   python scripts/precompute_embeddings.py --split train --return_index -8 \
       --out embeddings/train
@@ -30,6 +31,7 @@ sys.path.insert(0, ".")
 def main(split, return_index, batch_size, rows_per_shard, start, limit, out,
          cache_dir):
     from video_diffusion_speedrun_tpu.data.dataset import LatentDataset
+    from video_diffusion_speedrun_tpu.data.embeddings import write_manifest
     from video_diffusion_speedrun_tpu.text.encoder import (
         load_encoder, precompute_embeddings,
     )
@@ -45,9 +47,11 @@ def main(split, return_index, batch_size, rows_per_shard, start, limit, out,
         emb = precompute_embeddings(encoder, captions,
                                     return_index=return_index,
                                     batch_size=batch_size)
-        path = os.path.join(out, f"shard_{shard_lo:09d}.npz")
-        np.savez_compressed(path, embeddings=emb.astype(np.float16),
-                            row_start=shard_lo)
+        path = os.path.join(out, f"shard_{shard_lo:09d}.npy")
+        np.save(path, emb.astype(np.float16))
+        # manifest updated per shard so an interrupted run stays loadable
+        write_manifest(out, split, return_index,
+                       {shard_lo: shard_hi - shard_lo})
         click.echo(f"wrote {path} [{shard_lo}, {shard_hi})")
 
 

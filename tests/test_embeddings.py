@@ -1,9 +1,9 @@
 """Precomputed-embedding consumption path (round-2 VERDICT missing #3):
-scripts/precompute_embeddings.py writes shard_*.npz; the
-PrecomputedEmbeddingJoin reader joins them back onto rows as `context`,
-and the Trainer trains from them with NO encoder in the loop — the
-"precomputed" tier of the context priority chain (train/loop.py docstring),
-replacing the reference's per-step T5 encode (`train.py:77-84`).
+scripts/precompute_embeddings.py writes raw shard_*.npy + manifest.json;
+the PrecomputedEmbeddingJoin reader mmap-joins them back onto rows as
+`context`, and the Trainer trains from them with NO encoder in the loop —
+the "precomputed" tier of the context priority chain (train/loop.py
+docstring), replacing the reference's per-step T5 encode (`train.py:77-84`).
 """
 
 import os
@@ -14,22 +14,24 @@ import pytest
 
 from video_diffusion_speedrun_tpu.data.embeddings import (
     PrecomputedEmbeddingJoin,
+    write_manifest,
 )
 from video_diffusion_speedrun_tpu.data.synthetic import SyntheticLatentDataset
 
 
 def _write_shards(dirpath, num_rows, rows_per_shard, tokens=6, dim=32,
-                  seed=0):
-    """Same format as scripts/precompute_embeddings.py (fp16 + row_start)."""
+                  seed=0, split="train"):
+    """Same format as scripts/precompute_embeddings.py (.npy + manifest)."""
     os.makedirs(dirpath, exist_ok=True)
     rng = np.random.default_rng(seed)
     all_emb = rng.standard_normal((num_rows, tokens, dim)).astype(np.float16)
     for lo in range(0, num_rows, rows_per_shard):
         hi = min(lo + rows_per_shard, num_rows)
-        np.savez_compressed(
-            os.path.join(dirpath, f"shard_{lo:09d}.npz"),
-            embeddings=all_emb[lo:hi], row_start=lo,
-        )
+        np.save(os.path.join(dirpath, f"shard_{lo:09d}.npy"),
+                all_emb[lo:hi])
+        # one write_manifest call per shard, like the producer script —
+        # exercises the merge path
+        write_manifest(dirpath, split, -8, {lo: hi - lo})
     return all_emb
 
 
@@ -56,9 +58,53 @@ class TestPrecomputedEmbeddingJoin:
             ds[12]
 
     def test_empty_dir_raises(self, tmp_path):
-        with pytest.raises(FileNotFoundError, match="shard_"):
+        with pytest.raises(FileNotFoundError, match="manifest"):
             PrecomputedEmbeddingJoin(
                 SyntheticLatentDataset(num_rows=4), str(tmp_path))
+
+    def test_legacy_npz_dir_gets_rerun_hint(self, tmp_path):
+        """Pre-manifest compressed shards must fail with a pointer to the
+        new producer, not a bare missing-manifest error."""
+        np.savez_compressed(str(tmp_path / "shard_000000000.npz"),
+                            embeddings=np.zeros((4, 6, 32), np.float16),
+                            row_start=0)
+        with pytest.raises(FileNotFoundError, match="legacy"):
+            PrecomputedEmbeddingJoin(
+                SyntheticLatentDataset(num_rows=4), str(tmp_path))
+
+    def test_split_mismatch_raises(self, tmp_path):
+        """A flat dir precomputed for train must never silently join onto
+        test rows (both index spaces start at 0 — the join would succeed
+        with the wrong captions' embeddings)."""
+        _write_shards(str(tmp_path), num_rows=8, rows_per_shard=8,
+                      split="train")
+        with pytest.raises(ValueError, match="split"):
+            PrecomputedEmbeddingJoin(
+                SyntheticLatentDataset(num_rows=8, latent_shape=(4, 2, 8, 8)),
+                str(tmp_path), expected_split="test")
+        # matching split loads fine
+        ds = PrecomputedEmbeddingJoin(
+            SyntheticLatentDataset(num_rows=8, latent_shape=(4, 2, 8, 8)),
+            str(tmp_path), expected_split="train")
+        assert ds[0]["context"].shape == (6, 32)
+
+    def test_manifest_merge_refuses_mixed_settings(self, tmp_path):
+        write_manifest(str(tmp_path), "train", -8, {0: 8})
+        with pytest.raises(ValueError, match="return_index"):
+            write_manifest(str(tmp_path), "train", -1, {8: 8})
+        with pytest.raises(ValueError, match="split"):
+            write_manifest(str(tmp_path), "test", -8, {8: 8})
+
+    def test_shard_row_count_mismatch_raises(self, tmp_path):
+        _write_shards(str(tmp_path), num_rows=8, rows_per_shard=8)
+        # corrupt: manifest says 8 rows, file holds 4
+        np.save(str(tmp_path / "shard_000000000.npy"),
+                np.zeros((4, 6, 32), np.float16))
+        ds = PrecomputedEmbeddingJoin(
+            SyntheticLatentDataset(num_rows=8, latent_shape=(4, 2, 8, 8)),
+            str(tmp_path))
+        with pytest.raises(ValueError, match="manifest"):
+            ds[0]
 
     def test_lru_keeps_bounded_cache(self, tmp_path):
         _write_shards(str(tmp_path), num_rows=32, rows_per_shard=8)
@@ -91,9 +137,9 @@ class TestTrainerPrecomputedPath:
         # synthetic train split has 4096 rows; shards must cover every row
         # the sampler may draw. test split: DataConfig.test_rows.
         _write_shards(str(emb_root / "train"), num_rows=4096,
-                      rows_per_shard=2048, tokens=6, dim=32)
+                      rows_per_shard=2048, tokens=6, dim=32, split="train")
         _write_shards(str(emb_root / "test"), num_rows=64,
-                      rows_per_shard=64, tokens=6, dim=32)
+                      rows_per_shard=64, tokens=6, dim=32, split="test")
 
         model = DiTConfig(
             in_channels=16, hidden_size=64, depth=2, num_heads=2,

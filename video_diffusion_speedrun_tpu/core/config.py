@@ -83,6 +83,14 @@ class DiTConfig:
             raise ValueError("head_dim must be divisible by 4 for 3D RoPE")
         if self.rope_order not in ("matched", "reference"):
             raise ValueError(f"unknown rope_order: {self.rope_order}")
+        # typo'd impls must fail loudly, not silently train on the slow XLA
+        # path (models/dit.py falls back to XLA for anything non-pallas)
+        if self.attention_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown attention_impl: {self.attention_impl}")
+        if self.fused_adaln not in ("auto", "pallas", "off"):
+            raise ValueError(f"unknown fused_adaln: {self.fused_adaln}")
+        if self.remat_policy not in ("nothing", "dots", "attn", "dots_attn"):
+            raise ValueError(f"unknown remat_policy: {self.remat_policy}")
 
     @property
     def head_dim(self) -> int:

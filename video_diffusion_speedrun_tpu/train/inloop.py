@@ -53,6 +53,10 @@ from video_diffusion_speedrun_tpu.ops.embeddings import timestep_embedding
 from video_diffusion_speedrun_tpu.ops.patchify import patchify, unpatchify
 from video_diffusion_speedrun_tpu.train.loss import sample_timesteps
 from video_diffusion_speedrun_tpu.train.mup import mup_table
+from video_diffusion_speedrun_tpu.train.optim import (
+    adamw_leaf_delta,
+    unzip_leaf_triples,
+)
 from video_diffusion_speedrun_tpu.train.schedules import get_schedule
 
 _PREFIX_KEYS = ("patch_proj", "register_tokens", "time_embed",
@@ -75,25 +79,27 @@ class InloopOptState(NamedTuple):
 
 
 def _adamw_leaf(g, m, v, p, lr, wd, *, lr_t, bc1, bc2, b1, b2, eps):
-    """Same math/op-order as train/optim.py fused_apply (fp32, cast-out).
-    FNu leaves use the rank-1 reconstruction v̂ = vr⊗vc/mean(vr) in place
-    of the elementwise second moment (Adafactor; bias correction applies
-    to v̂ since vr, vc, and their ratio all scale with bc2)."""
-    gf = g.astype(jnp.float32)
-    m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+    """Non-factored leaves delegate to the shared `adamw_leaf_delta`
+    (train/optim.py) — the fp32 bit-identity vs the standard step is a
+    single-source guarantee, not manual sync. FNu leaves use the rank-1
+    reconstruction v̂ = vr⊗vc/mean(vr) in place of the elementwise second
+    moment (Adafactor; bias correction applies to v̂ since vr, vc, and
+    their ratio all scale with bc2)."""
     if isinstance(v, FNu):
+        gf = g.astype(jnp.float32)
+        m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
         g2 = jnp.square(gf)
         vr2 = b2 * v.vr.astype(jnp.float32) + (1.0 - b2) * jnp.mean(g2, -1)
         vc2 = b2 * v.vc.astype(jnp.float32) + (1.0 - b2) * jnp.mean(g2, -2)
         denom = jnp.maximum(jnp.mean(vr2, -1, keepdims=True), 1e-30)
         v2 = vr2[..., :, None] * vc2[..., None, :] / denom[..., None]
-        v2s = FNu(vr2, vc2)
-    else:
-        v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
-        v2s = v2.astype(v.dtype)
-    direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-    p2 = p + (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
-    return p2, m2.astype(m.dtype), v2s
+        direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+        p2 = p + (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
+        return p2, m2.astype(m.dtype), FNu(vr2, vc2)
+    delta, m2, v2 = adamw_leaf_delta(
+        g, m, v, p, lr, wd,
+        lr_t=lr_t, bc1=bc1, bc2=bc2, b1=b1, b2=b2, eps=eps)
+    return p + delta, m2.astype(m.dtype), v2.astype(v.dtype)
 
 
 def _update_tree(grads, mu, nu, params, lr_tree, wd_tree, **kw):
@@ -101,13 +107,8 @@ def _update_tree(grads, mu, nu, params, lr_tree, wd_tree, **kw):
         functools.partial(_adamw_leaf, **kw),
         grads, mu, nu, params, lr_tree, wd_tree,
     )
-    treedef = jax.tree.structure(params)
-    leaves = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
     # leaves alternate as (p2, m2, v2) tuples per param leaf
-    p2 = jax.tree.unflatten(treedef, [l[0] for l in leaves])
-    m2 = jax.tree.unflatten(treedef, [l[1] for l in leaves])
-    v2 = jax.tree.unflatten(treedef, [l[2] for l in leaves])
-    return p2, m2, v2
+    return unzip_leaf_triples(out, jax.tree.structure(params))
 
 
 def build_inloop_step(
@@ -121,7 +122,7 @@ def build_inloop_step(
     alpha: float = 8.0,
     caption_dropout: float = 0.01,
 ):
-    """Returns (init_opt, step).
+    """Returns (init_opt, step, settings).
 
     init_opt(params) → InloopOptState (moments in ocfg.moments_dtype or
     param dtype; 2-D block nu leaves ≥ nu_factored_min_size stored rank-1

@@ -115,12 +115,14 @@ class Trainer:
             )
 
             # precomputed shards are written per split dir by convention
-            # (scripts/precompute_embeddings.py --out <dir>/<split>); accept
-            # a flat dir too
+            # (scripts/precompute_embeddings.py --out <dir>/<split>); a flat
+            # dir is accepted because the join validates the manifest's
+            # split — a mismatched flat dir raises instead of silently
+            # joining the other split's embeddings
             split_dir = os.path.join(dcfg.embeddings_dir, split)
             emb_dir = split_dir if os.path.isdir(split_dir) \
                 else dcfg.embeddings_dir
-            ds = PrecomputedEmbeddingJoin(ds, emb_dir)
+            ds = PrecomputedEmbeddingJoin(ds, emb_dir, expected_split=split)
         return ds
 
     def _loader(self, split: str) -> Iterator[Dict]:

@@ -27,6 +27,34 @@ class MupAdamWState(NamedTuple):
     adam: Any
 
 
+def adamw_leaf_delta(g, m, v, p, lr, wd, *, lr_t, bc1, bc2, b1, b2, eps):
+    """The ONE fp32 AdamW leaf update all three in-repo variants share
+    (`mup_adamw`, `fused_apply`, and train/inloop.py's non-factored branch)
+    — torch semantics `Δ = −lr_t·lr·(adam_dir + wd·p)` with optax
+    scale_by_adam op order `(m/bc1) / (sqrt(v/bc2) + eps)`. Keeping the
+    math in one place is what makes the standard-vs-inloop fp32
+    bit-identity test (`tests/test_inloop.py`) a guarantee instead of a
+    manual-sync convention.
+
+    Returns `(delta, m2, v2)`: delta cast to `p.dtype`, moments in fp32
+    (callers cast to their storage dtype).
+    """
+    gf = g.astype(jnp.float32)
+    m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+    v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
+    direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+    delta = (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
+    return delta, m2, v2
+
+
+def unzip_leaf_triples(out: Any, treedef) -> tuple:
+    """Split a tree of (a, b, c) leaf tuples into three trees."""
+    leaves = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
+    return tuple(
+        jax.tree.unflatten(treedef, [l[i] for l in leaves]) for i in range(3)
+    )
+
+
 def mup_adamw(
     lr_tree: Any,
     wd_tree: Any,
@@ -64,21 +92,15 @@ def mup_adamw(
         lr_t = schedule_fn(state.count)
 
         def leaf(g, m, v, p, lr, wd):
-            gf = g.astype(jnp.float32)
-            m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
-            v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
-            # optax scale_by_adam order: (m/bc1) / (sqrt(v/bc2) + eps)
-            direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-            upd = (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
+            upd, m2, v2 = adamw_leaf_delta(
+                g, m, v, p, lr, wd,
+                lr_t=lr_t, bc1=bc1, bc2=bc2, b1=b1, b2=b2, eps=eps)
             return upd, m2.astype(m.dtype), v2.astype(v.dtype)
 
         out = jax.tree.map(leaf, grads, state.adam.mu, state.adam.nu, params,
                            lr_tree, wd_tree)
-        treedef = jax.tree.structure(params)
-        leaves = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
-        updates = jax.tree.unflatten(treedef, [l[0] for l in leaves])
-        new_m = jax.tree.unflatten(treedef, [l[1] for l in leaves])
-        new_v = jax.tree.unflatten(treedef, [l[2] for l in leaves])
+        updates, new_m, new_v = unzip_leaf_triples(
+            out, jax.tree.structure(params))
         return updates, MupAdamWState(
             count=state.count + 1,
             adam=optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v),
@@ -120,21 +142,14 @@ def fused_apply(
                                     bc2, b1, b2, eps)
             if out is not None:
                 return out
-        gf = g.astype(jnp.float32)
-        m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
-        v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
-        # optax scale_by_adam order: (m/bc1) / (sqrt(v/bc2) + eps)
-        direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-        p2 = p + (-(lr * lr_t) * (direction + wd * p)).astype(p.dtype)
-        return p2, m2.astype(m.dtype), v2.astype(v.dtype)
+        delta, m2, v2 = adamw_leaf_delta(
+            g, m, v, p, lr, wd,
+            lr_t=lr_t, bc1=bc1, bc2=bc2, b1=b1, b2=b2, eps=eps)
+        return p + delta, m2.astype(m.dtype), v2.astype(v.dtype)
 
     out = jax.tree.map(leaf, grads, state.adam.mu, state.adam.nu, params,
                        lr_tree, wd_tree)
-    treedef = jax.tree.structure(params)
-    leaves = jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))
-    new_p = jax.tree.unflatten(treedef, [l[0] for l in leaves])
-    new_m = jax.tree.unflatten(treedef, [l[1] for l in leaves])
-    new_v = jax.tree.unflatten(treedef, [l[2] for l in leaves])
+    new_p, new_m, new_v = unzip_leaf_triples(out, jax.tree.structure(params))
     new_state = MupAdamWState(
         count=state.count + 1,
         adam=optax.ScaleByAdamState(count=count, mu=new_m, nu=new_v),

@@ -454,6 +454,16 @@ class TestLatentDatasetOffline:
         with pytest.raises(ValueError, match="unknown split"):
             ds_mod.LatentDataset(split="validation")
 
+    def test_hub_row_count_drift_raises(self, monkeypatch):
+        """The reference pins MS = 1979810 // 2 (`sharded_dataset.py:18`)
+        rather than len(dataset); an upstream row-count change must fail
+        loudly, not silently shift the train/test boundary (split-local
+        indices key precomputed-embedding joins)."""
+        ds_mod = self._fake_hf(monkeypatch, total_rows=200)
+        monkeypatch.setattr(ds_mod.LatentDataset, "TOTAL_ROWS", 198)
+        with pytest.raises(ValueError, match="pins 198"):
+            ds_mod.LatentDataset(split="train")
+
 
 class TestCoordinatedBucketing:
     """Multi-host shape coordination: every simulated host must emit the

@@ -70,7 +70,8 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 @click.option("--use_t5", type=bool, default=False,
               help="encode captions with the JAX T5 (needs local weights)")
 @click.option("--embeddings_dir", type=str, default=None,
-              help="dir of shard_*.npz from scripts/precompute_embeddings.py "
+              help="dir of shard_*.npy + manifest.json from "
+                   "scripts/precompute_embeddings.py "
                    "(per-split subdirs or flat); rows get offline context "
                    "and no per-step T5 encode runs")
 @click.option("--seed", type=int, default=0)

@@ -39,7 +39,8 @@ class LatentDataset:
                  hf_name: str = "fal/cosmos-openvid-1m"):
         from datasets import load_dataset  # lazy: heavy import
 
-        if os.path.exists(hf_name):  # local parquet fixture
+        local_fixture = os.path.exists(hf_name)
+        if local_fixture:  # local parquet fixture
             if os.path.isdir(hf_name):
                 files = sorted(
                     os.path.join(hf_name, f) for f in os.listdir(hf_name)
@@ -52,8 +53,22 @@ class LatentDataset:
         else:
             base = load_dataset(hf_name, split="train", cache_dir=cache_dir)
         # reference split arithmetic (`sharded_dataset.py:18-19`): MS =
-        # total // 2; train = [0, MS-40), test = [MS-40, MS)
-        half = len(base) // 2
+        # 1979810 // 2 — a PINNED constant, not len(dataset); train =
+        # [0, MS-40), test = [MS-40, MS). Pinning matters: split-local row
+        # indices key checkpoint-comparable eval windows and precomputed-
+        # embedding joins, so an upstream row-count drift must fail loudly
+        # here rather than silently shift the train/test boundary.
+        if not local_fixture:
+            if len(base) != self.TOTAL_ROWS:
+                raise ValueError(
+                    f"{hf_name} has {len(base)} rows but the reference "
+                    f"split arithmetic pins {self.TOTAL_ROWS} "
+                    "(sharded_dataset.py:18) — the dataset changed "
+                    "upstream, or a partial mirror is cached. Refusing to "
+                    "shift the train/test boundary silently; point "
+                    "hf_name at a local fixture to use dynamic splitting."
+                )
+        half = (len(base) if local_fixture else self.TOTAL_ROWS) // 2
         test_rows = min(self.TEST_ROWS, half)
         if split == "train":
             rng = range(0, half - test_rows)

@@ -167,12 +167,13 @@ class PrecomputedEmbeddingJoin:
                 "later — re-run the precompute for the gap"
             )
         emb = self._load_shard(start, rows)
-        # copy the row out of the mmap so batches never pin shard pages
-        return np.array(emb[idx - start])
+        # one copy: fp16 mmap row → fp32 batch array (detaches from the
+        # mmap so batches never pin shard pages)
+        return np.asarray(emb[idx - start], dtype=np.float32)
 
     def __getitem__(self, idx: int) -> Dict:
         row = self.base[int(idx)]
-        row["context"] = self._lookup(int(idx)).astype(np.float32)
+        row["context"] = self._lookup(int(idx))
         return row
 
     def latent_shapes(self):

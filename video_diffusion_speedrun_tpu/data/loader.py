@@ -20,6 +20,7 @@ import collections
 import queue
 import sys
 import threading
+import time
 from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import jax
@@ -256,8 +257,13 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            # drain so the producer can exit (it may be blocked in put)
-            while thread.is_alive():
+            # drain so the producer can exit (it may be blocked in put).
+            # Bounded: a producer stuck inside dataset.__getitem__ (stalled
+            # network/NFS read) must not hang stream close — after the
+            # deadline abandon the daemon thread (same policy as
+            # device_prefetch's 5 s join cap).
+            deadline = time.monotonic() + 5.0
+            while thread.is_alive() and time.monotonic() < deadline:
                 while not q.empty():
                     try:
                         q.get_nowait()

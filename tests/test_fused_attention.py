@@ -461,6 +461,19 @@ class TestLongPathBackward:
     def test_fused_dq_partials(self):
         self._check(l=200, bq=64, bk=64)  # nk=4 ≤ 16 → fused partials
 
+    def test_padfree_non128_divisor_blocks(self):
+        """Column-layout LSE lets ragged L tile with 16-aligned divisor
+        blocks that are NOT 128-multiples (the 8208 = 9×912 production
+        case in miniature: 432 = 9×48). Guards the round-3 layout change —
+        the old [b,h,1,L] row LSE forced 128-multiple blocks here."""
+        from video_diffusion_speedrun_tpu.ops.fused_attention import (
+            _ALIGN, _fit_block_div,
+        )
+
+        picked = _fit_block_div(432, 128, align=_ALIGN)
+        assert picked == 48 and picked % 128 != 0  # the case under test
+        self._check(l=432, bq=128, bk=128)
+
     def test_two_pass_fallback_beyond_partial_cap(self):
         from video_diffusion_speedrun_tpu.ops import fused_attention as fa
 

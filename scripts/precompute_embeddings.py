@@ -28,16 +28,30 @@ sys.path.insert(0, ".")
 @click.option("--limit", type=int, default=None)
 @click.option("--out", type=str, required=True)
 @click.option("--cache_dir", type=str, default="./cache")
+@click.option("--hf_name", type=str, default="fal/cosmos-openvid-1m",
+              help="HF dataset name, or a local parquet fixture "
+                   "(scripts/make_data_fixture.py)")
+@click.option("--smoke_encoder", is_flag=True,
+              help="tiny RANDOM-INIT T5 + byte-fallback tokenizer — "
+                   "exercises the full precompute→manifest→train pipeline "
+                   "without FLUX weights; embeddings are garbage")
 def main(split, return_index, batch_size, rows_per_shard, start, limit, out,
-         cache_dir):
+         cache_dir, hf_name, smoke_encoder):
     from video_diffusion_speedrun_tpu.data.dataset import LatentDataset
     from video_diffusion_speedrun_tpu.data.embeddings import write_manifest
     from video_diffusion_speedrun_tpu.text.encoder import (
         load_encoder, precompute_embeddings,
     )
 
-    ds = LatentDataset(split=split, cache_dir=cache_dir)
-    encoder = load_encoder()
+    ds = LatentDataset(split=split, cache_dir=cache_dir, hf_name=hf_name)
+    if smoke_encoder:
+        from video_diffusion_speedrun_tpu.text.t5 import T5Config
+
+        tiny = T5Config(d_model=64, d_kv=16, d_ff=128, num_layers=2,
+                        num_heads=4)
+        encoder = load_encoder(cfg=tiny, allow_random_init=True)
+    else:
+        encoder = load_encoder()
     os.makedirs(out, exist_ok=True)
 
     end = len(ds) if limit is None else min(len(ds), start + limit)

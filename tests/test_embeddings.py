@@ -123,6 +123,87 @@ class TestPrecomputedEmbeddingJoin:
         assert ds.latent_shapes() == base.latent_shapes()
 
 
+class TestProducerScriptChain:
+    def test_precompute_script_to_training(self, tmp_path):
+        """The ACTUAL producer (scripts/precompute_embeddings.py main, not a
+        format re-implementation) against a local parquet fixture with the
+        --smoke_encoder tiny random T5 + byte-fallback tokenizer, then
+        training from the written shards with allow_random_context=False —
+        the complete offline pipeline the reference lacks
+        (`train.py:77-84` re-encodes per step)."""
+        import importlib.util
+
+        import torch  # noqa: F401  (fixture wire format)
+        from click.testing import CliRunner
+
+        import datasets as hfds
+        import io
+
+        rng = np.random.default_rng(0)
+        blobs, captions = [], []
+        for i in range(120):  # half=60, test=40 → train=20
+            lat = rng.standard_normal((16, 2, 8, 8))
+            buf = io.BytesIO()
+            torch.save(torch.from_numpy(lat).to(torch.bfloat16), buf)
+            blobs.append(buf.getvalue())
+            captions.append(f"fixture clip {i}")
+        fx = str(tmp_path / "fixture.parquet")
+        hfds.Dataset.from_dict(
+            {"serialized_latent": blobs, "caption": captions}).to_parquet(fx)
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "precompute_cli",
+            os.path.join(root, "scripts", "precompute_embeddings.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        emb_root = tmp_path / "emb"
+        for split in ("train", "test"):
+            r = CliRunner().invoke(mod.main, [
+                "--split", split, "--hf_name", fx, "--smoke_encoder",
+                "--return_index", "-1", "--rows_per_shard", "16",
+                "--batch_size", "8", "--out", str(emb_root / split),
+                "--cache_dir", str(tmp_path / "cache"),
+            ], catch_exceptions=False)
+            assert r.exit_code == 0, r.output
+
+        # shards declare their split and cover every train row
+        import json
+        man = json.load(open(emb_root / "train" / "manifest.json"))
+        assert man["split"] == "train"
+        assert sum(man["shards"].values()) == 20
+
+        from video_diffusion_speedrun_tpu.core.config import (
+            DataConfig, DiTConfig, MeshConfig, OptimizerConfig, TrainConfig,
+        )
+        from video_diffusion_speedrun_tpu.train.loop import Trainer
+
+        model = DiTConfig(
+            in_channels=16, hidden_size=64, depth=2, num_heads=2,
+            cross_attn_input_size=64, residual_v=True,
+            attention_impl="xla", compute_dtype=jnp.float32,
+        )
+        cfg = TrainConfig(
+            model=model, mesh=MeshConfig(replica=1, fsdp=8),
+            data=DataConfig(
+                dataset="cosmos_openvid", hf_name=fx,
+                cache_dir=str(tmp_path / "cache"),
+                num_workers=2, allow_random_context=False,
+                embeddings_dir=str(emb_root),
+            ),
+            optimizer=OptimizerConfig(learning_rate=0.01,
+                                      scheduler="constant", warmup_steps=2),
+            num_epochs=4, batch_size=8, max_steps=3, evaluate_every=2,
+            eval_batches=1, run_name="producer_chain",
+            checkpoint_dir=str(tmp_path / "ckpt"), log_every=2, seed=0,
+        )
+        trainer = Trainer(cfg, prompt_encoder=None)
+        assert not trainer.device_context
+        last = trainer.train()
+        assert np.isfinite(last["train/total_loss"])
+        assert "test/total_loss" in last  # eval joined the test-split shards
+
+
 class TestTrainerPrecomputedPath:
     def test_trains_without_encoder(self, tmp_path):
         """E2E: write shards for train+test splits, train 6 steps with no

@@ -57,6 +57,12 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 # --- TPU-native extras (no reference equivalent) ---
 @click.option("--dataset", type=click.Choice(["synthetic", "cosmos_openvid"]),
               default="synthetic")
+@click.option("--hf_name", type=str, default="fal/cosmos-openvid-1m",
+              help="HF dataset name, or a local parquet file/dir with the "
+                   "same columns (scripts/make_data_fixture.py) for offline "
+                   "end-to-end rehearsal")
+@click.option("--cache_dir", type=str, default="./cache",
+              help="HF datasets cache dir (reference train.py cache_dir)")
 @click.option("--synthetic_rows", type=int, default=4096,
               help="synthetic train-split row count")
 @click.option("--synthetic_t_choices", type=str, default="",
@@ -99,7 +105,8 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
 def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          log_every, run_name, model_width, model_depth, model_head_dim, optimizer_type,
          lr_scheduler_type, train_bias_and_rms, init_std_factor, project_name,
-         return_index, load_checkpoint, rope_order, dataset, synthetic_rows,
+         return_index, load_checkpoint, rope_order, dataset, hf_name,
+         cache_dir, synthetic_rows,
          synthetic_t_choices,
          mesh_replica,
          mesh_fsdp, mesh_context, mesh_tensor, use_t5, embeddings_dir, seed,
@@ -140,6 +147,8 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
                         context=mesh_context, tensor=mesh_tensor),
         data=DataConfig(
             dataset=dataset,
+            hf_name=hf_name,
+            cache_dir=cache_dir,
             synthetic_rows=synthetic_rows,
             synthetic_t_choices=tuple(
                 int(t) for t in synthetic_t_choices.split(",") if t

@@ -36,6 +36,24 @@ logger = logging.getLogger(__name__)
 MAX_SEQUENCE_LENGTH = 512  # `utils.py:42` default
 
 
+class ByteFallbackTokenizer:
+    """Deterministic offline stand-in when no sentencepiece checkpoint is
+    cached: UTF-8 bytes → ids 3+byte (T5 special-id layout: 0=pad, 1=EOS,
+    2=unk), EOS-terminated, padded/truncated to max_length. Semantically
+    garbage — only paired with RANDOM-INIT smoke encoders (load_encoder
+    only installs it under `allow_random_init`); real encodes require the
+    real tokenizer. Mimics the HF call signature `tokenize()` uses."""
+
+    def __call__(self, prompts: Sequence[str], padding=None, max_length=512,
+                 truncation=True, return_tensors="np"):
+        ids = np.zeros((len(prompts), max_length), np.int64)
+        for row, text in enumerate(prompts):
+            bs = list(text.encode("utf-8"))[: max_length - 1]
+            ids[row, : len(bs)] = np.asarray(bs, np.int64) + 3
+            ids[row, len(bs)] = 1  # EOS
+        return {"input_ids": ids}
+
+
 class PromptEncoder:
     def __init__(self, params, cfg: T5Config, tokenizer=None,
                  max_length: int = MAX_SEQUENCE_LENGTH, mesh=None):
@@ -117,6 +135,12 @@ def load_encoder(
             ) from e
         logger.warning("T5 weights unavailable (%s); RANDOM INIT (smoke only)", e)
         params = init_t5(rng or jax.random.PRNGKey(0), cfg)
+
+    if tokenizer is None and allow_random_init:
+        logger.warning(
+            "no tokenizer cached; using the byte-fallback tokenizer "
+            "(smoke only — ids are NOT sentencepiece)")
+        tokenizer = ByteFallbackTokenizer()
 
     return PromptEncoder(params, cfg, tokenizer)
 

@@ -112,6 +112,52 @@ class TestFusedRopeFlash:
                                    atol=1e-4, rtol=1e-3)
 
 
+class TestShapeSweep:
+    """Edge-shape sweep over both kernel paths, fwd + all grads vs the
+    unfused reference — the dispatch/tiling decisions (short auto vs
+    explicit blocked, exact-divisor vs padded-tail blocks, multi-batch)
+    each hit different kernel code."""
+
+    CASES = [
+        # (b, l, block_q, block_k) — None blocks = short auto path
+        (1, 24, None, None),     # short, 16-mult, single block
+        (1, 72, None, None),     # short, non-16-mult tail mask
+        (2, 136, None, None),    # short, multi-batch, 136 = 8·17
+        (1, 96, 48, 32),         # long, exact divisor blocks (48, 32)
+        (1, 88, 32, 32),         # long, 88 has no 16-aligned divisor → pad
+        (2, 64, 16, 64),         # long, block_k = full L, minimal block_q
+    ]
+
+    @pytest.mark.parametrize("b,l,bq,bk", CASES)
+    def test_fwd_and_grads(self, b, l, bq, bk):
+        ks = jax.random.split(jax.random.PRNGKey(l), 3)
+        q = jax.random.normal(ks[0], (b, l, H * D), jnp.float32)
+        k = jax.random.normal(ks[1], (b, l, H * D), jnp.float32)
+        v = jax.random.normal(ks[2], (b, l, H * D), jnp.float32)
+        cos, sin = rope_cos_sin(D, 6, 6, 6, jnp.zeros(3, jnp.int32),
+                                num_registers=8)
+        cos, sin = cos[:l], sin[:l]
+        kw = {} if bq is None else {"block_q": bq, "block_k": bk}
+
+        def loss_fused(q, k, v):
+            return jnp.sum(rope_flash_attention(
+                q, k, v, cos, sin, H, **kw) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_reference(q, k, v, cos, sin) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(rope_flash_attention(q, k, v, cos, sin, H, **kw)),
+            np.asarray(_reference(q, k, v, cos, sin)),
+            atol=2e-5, rtol=1e-4)
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip("qkv", gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"d{name} @ L={l}")
+
+
 class TestNoRopeFused:
     def test_norope_short_matches_reference(self):
         from video_diffusion_speedrun_tpu.ops.fused_attention import (

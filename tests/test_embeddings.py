@@ -204,6 +204,27 @@ class TestProducerScriptChain:
         assert "test/total_loss" in last  # eval joined the test-split shards
 
 
+class TestByteFallbackTokenizer:
+    def test_layout_truncation_eos(self):
+        from video_diffusion_speedrun_tpu.text.encoder import (
+            ByteFallbackTokenizer,
+        )
+
+        tok = ByteFallbackTokenizer()
+        out = tok(["ab", "x" * 500, ""], max_length=8)
+        ids = out["input_ids"]
+        assert ids.shape == (3, 8)
+        # 'a'=97 → 100; EOS=1; pad=0
+        assert list(ids[0]) == [100, 101, 1, 0, 0, 0, 0, 0]
+        # truncated to max_length-1 bytes + EOS, no pad
+        assert list(ids[1][:7]) == [ord("x") + 3] * 7 and ids[1][7] == 1
+        # empty prompt = immediate EOS
+        assert list(ids[2]) == [1, 0, 0, 0, 0, 0, 0, 0]
+        # deterministic
+        assert (tok(["ab"], max_length=8)["input_ids"]
+                == tok(["ab"], max_length=8)["input_ids"]).all()
+
+
 class TestTrainerPrecomputedPath:
     def test_trains_without_encoder(self, tmp_path):
         """E2E: write shards for train+test splits, train 6 steps with no

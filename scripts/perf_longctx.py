@@ -27,6 +27,7 @@ MODEL = DiTConfig(
     scan_blocks=False, remat=False,
 )
 B, T, H, W, LC = 2, 16, 64, 64, 512
+MOMENTS = None
 
 
 def main():
@@ -35,8 +36,10 @@ def main():
     # program and the pair RESOURCE_EXHAUSTs a v5e at L=8208)
     # "remat=<policy>" switches loss+backward to scan+remat with that
     # policy (e.g. remat=attn saves the flash o/lse instead of re-running
-    # the O(L²) kernel); "b=<N>" overrides the batch.
-    global MODEL, B
+    # the O(L²) kernel); "b=<N>" overrides the batch; "moments=bf16"
+    # stores Adam moments in bf16 (halves optimizer HBM — the lever that
+    # lets the B=2 full step fit without remat on the current toolchain).
+    global MODEL, B, MOMENTS
     full_step = "full" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("remat="):
@@ -44,6 +47,8 @@ def main():
                                   remat_policy=a.split("=", 1)[1])
         elif a.startswith("b="):
             B = int(a.split("=", 1)[1])
+        elif a.startswith("moments="):
+            MOMENTS = jnp.bfloat16
     params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
     lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096), jnp.bfloat16)
@@ -91,7 +96,8 @@ def _measure_full_step(params, lat, ctx, rng, fl, peak, tokens):
     del params  # init_fn builds its own sharded state
     cfg = TrainConfig(
         model=MODEL, mesh=MeshConfig(replica=1, fsdp=1, tensor=1),
-        optimizer=OptimizerConfig(learning_rate=2 ** -6),
+        optimizer=OptimizerConfig(learning_rate=2 ** -6,
+                                  moments_dtype=MOMENTS),
         batch_size=B, max_steps=5004, seed=0,
     )
     mesh = build_mesh(cfg.mesh)

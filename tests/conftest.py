@@ -21,6 +21,21 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the C++ fastload extension is a build artifact (*.so is gitignored); a
+# fresh checkout would silently skip its tests, so build it on demand here
+try:
+    from video_diffusion_speedrun_tpu.data._native import fastload  # noqa: F401
+except ImportError:
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "video_diffusion_speedrun_tpu", "data", "_native"),
+        capture_output=True, check=False,
+    )
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -33,6 +33,9 @@ class TestTrainCLI:
             "--model_head_dim", "32", "--evaluate_every", "3",
             "--log_every", "2", "--dataset", "synthetic",
             "--allow_random_context", "true", "--num_epochs", "1",
+            # also exercises bf16 moment storage end-to-end (numerics have
+            # their own 20-step parity test in test_train_step.py)
+            "--moments_dtype", "bf16",
         ], catch_exceptions=False)
         assert r.exit_code == 0, r.output
 

@@ -99,6 +99,12 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
                    "matmul outputs; 'attn' saves the flash kernel's o/lse "
                    "(skips the O(L²) recompute — the long-context policy); "
                    "'dots_attn' both")
+@click.option("--moments_dtype", type=click.Choice(["fp32", "bf16"]),
+              default="fp32",
+              help="Adam moment STORAGE dtype (math stays fp32). bf16 "
+                   "halves optimizer HBM — what lets the XL one-chip and "
+                   "L=8208 B=2 full steps fit; slightly slower at small "
+                   "scale (PERFORMANCE.md)")
 @click.option("--platform", type=str, default=None,
               help="force a jax platform (e.g. 'cpu' for the virtual-device "
                    "sim; this image's sitecustomize ignores JAX_PLATFORMS)")
@@ -111,13 +117,15 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          mesh_replica,
          mesh_fsdp, mesh_context, mesh_tensor, use_t5, embeddings_dir, seed,
          use_wandb, grad_accum, allow_random_context, scan_blocks, remat,
-         remat_policy, platform):
+         remat_policy, moments_dtype, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+    import jax.numpy as jnp  # after the optional platform override above
 
     if rope_order == "auto":
         from video_diffusion_speedrun_tpu.train.checkpoint import (
@@ -159,6 +167,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
         ),
         optimizer=OptimizerConfig(
             learning_rate=learning_rate, scheduler=lr_scheduler_type,
+            moments_dtype=(jnp.bfloat16 if moments_dtype == "bf16" else None),
         ),
         num_epochs=num_epochs, batch_size=batch_size, max_steps=max_steps,
         grad_accum=grad_accum,

@@ -82,7 +82,7 @@ def _torch_losses(torch, fx):
             opt.zero_grad()
             loss.backward()
             opt.step()
-            losses.append(float(loss))
+            losses.append(float(loss.detach()))
     finally:
         torch.randint = orig_randint
     return state0, losses

@@ -345,6 +345,80 @@ class TestNativeFastload:
         assert t_native < t_torch, (t_native, t_torch)
 
 
+class TestNativeFastloadHardening:
+    """Crafted/corrupt blobs must raise cleanly, never read out of bounds.
+
+    Covers the untrusted-input gaps a review found: pickle memo opcodes on
+    an empty stack, attacker-sized memo indices, and uint64-wrapping zip64
+    offsets in the ZIP bounds checks."""
+
+    def _fastload(self):
+        return pytest.importorskip(
+            "video_diffusion_speedrun_tpu.data._native.fastload")
+
+    @staticmethod
+    def _zip_blob(members):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+            for name, data in members.items():
+                z.writestr(name, data)
+        return buf.getvalue()
+
+    def test_memo_put_on_empty_stack_raises(self):
+        fastload = self._fastload()
+        # data.pkl = BINPUT with nothing on the stack — UB without the guard
+        blob = self._zip_blob({"archive/data.pkl": b"q\x00"})
+        with pytest.raises(ValueError):
+            fastload.load_tensor(blob)
+
+    def test_huge_long_binput_index_raises(self):
+        fastload = self._fastload()
+        # BININT1 5; LONG_BINPUT 0xFFFFFFFF (would demand a 4-billion-entry
+        # memo resize); STOP
+        pkl = b"K\x05r\xff\xff\xff\xff."
+        blob = self._zip_blob({"archive/data.pkl": pkl})
+        with pytest.raises(ValueError):
+            fastload.load_tensor(blob)
+
+    def test_wrapping_zip64_local_offset_raises(self):
+        """CD entry whose zip64 extra declares a local-header offset near
+        UINT64_MAX: `offset + 30` wraps past the bounds check without the
+        subtract-form comparison and reads far out of the buffer."""
+        import struct
+
+        fastload = self._fastload()
+        name = b"archive/data.pkl"
+        extra = struct.pack("<HHQ", 0x0001, 8, 0xFFFFFFFFFFFFFFF0)
+        cd = struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            0x02014B50, 20, 20, 0, 0, 0, 0,  # sig, versions, flags, method, time, date
+            0, 2, 2,                          # crc, csize, usize
+            len(name), len(extra), 0,         # name/extra/comment lens
+            0, 0, 0,                          # disk, int attr, ext attr
+            0xFFFFFFFF,                       # lho -> take from zip64 extra
+        ) + name + extra
+        eocd = struct.pack(
+            "<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, len(cd), 0, 0
+        )
+        with pytest.raises(ValueError):
+            fastload.load_tensor(cd + eocd)
+
+    def test_wrapping_eocd64_offset_raises(self):
+        """EOCD64 locator pointing near UINT64_MAX: `eocd64 + 56` wraps."""
+        import struct
+
+        fastload = self._fastload()
+        locator = struct.pack("<IIQI", 0x07064B50, 0, 0xFFFFFFFFFFFFFFF0, 1)
+        eocd = struct.pack(
+            "<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, 0, 0xFFFFFFFF, 0
+        )
+        with pytest.raises(ValueError):
+            fastload.load_tensor(locator + eocd)
+
+
 class TestShapeBucketing:
     def test_mixed_shapes_batch_uniform(self):
         from video_diffusion_speedrun_tpu.data.loader import (

@@ -61,6 +61,23 @@ class TestTrainerLoop:
                     if k.startswith("train_binning/")]
         assert any(v > 0 for v in bin_vals)
 
+    def test_eval_batch_clamped_to_test_split(self, tmp_path):
+        """The canonical global batch (64) exceeds the pinned 40-row test
+        split; eval must clamp to the largest shardable size, not crash at
+        the first eval (the reference sidesteps this by evaluating each
+        rank on the full split independently, `train.py:366-374`)."""
+        cfg = _cfg(tmp_path, batch_size=64, max_steps=3, evaluate_every=2,
+                   run_name="clamp",
+                   data=DataConfig(dataset="synthetic",
+                                   synthetic_shape=(16, 4, 16, 16),
+                                   synthetic_rows=128, test_rows=40,
+                                   caption_tokens=6, context_dim=32,
+                                   num_workers=2))
+        trainer = Trainer(cfg)
+        last = trainer.train()
+        assert "test/total_loss" in last
+        assert np.isfinite(last["test/total_loss"])
+
     def test_resume_from_full_checkpoint(self, tmp_path):
         cfg = _cfg(tmp_path, max_steps=11, run_name="first")
         t1 = Trainer(cfg)

@@ -74,7 +74,9 @@ bool parse_zip(const uint8_t* data, size_t len, Zip* zip, std::string* err) {
       return false;
     }
     uint64_t eocd64 = rd64(data + eocd - 20 + 8);
-    if (eocd64 + 56 > len || rd32(data + eocd64) != 0x06064b50) {
+    // eocd64 is untrusted: subtract-form check, `eocd64 + 56` can wrap
+    if (eocd64 > len || len - eocd64 < 56 ||
+        rd32(data + eocd64) != 0x06064b50) {
       *err = "bad EOCD64";
       return false;
     }
@@ -126,15 +128,21 @@ bool parse_zip(const uint8_t* data, size_t len, Zip* zip, std::string* err) {
 bool zip_read(const Zip& zip, const ZipEntry& e, const uint8_t** out,
               std::string* err) {
   const uint8_t* d = zip.data;
-  if (e.offset + 30 > zip.len || rd32(d + e.offset) != 0x04034b50) {
+  // offset/size may come from an untrusted zip64 extra field: all range
+  // checks in subtract form so `x + k` cannot wrap past the comparison
+  if (e.offset > zip.len || zip.len - e.offset < 30 ||
+      rd32(d + e.offset) != 0x04034b50) {
     *err = "bad local header";
     return false;
   }
   if (e.method != 0) { *err = "compressed entry (unsupported)"; return false; }
   uint16_t name_len = rd16(d + e.offset + 26);
   uint16_t extra_len = rd16(d + e.offset + 28);
-  uint64_t start = e.offset + 30 + name_len + extra_len;
-  if (start + e.size > zip.len) { *err = "entry out of range"; return false; }
+  uint64_t start = e.offset + 30 + (uint64_t)name_len + extra_len;
+  if (start > zip.len || e.size > zip.len - start) {
+    *err = "entry out of range";
+    return false;
+  }
   *out = d + start;
   return true;
 }
@@ -184,9 +192,13 @@ struct Pickle {
     return true;
   }
 
-  void put_memo(size_t idx, ValuePtr v) {
+  bool put_memo(size_t idx, ValuePtr v) {
+    // idx is untrusted (LONG_BINPUT carries a raw 32-bit index): cap the
+    // table so a crafted index can't demand a ~4-billion-entry resize
+    if (idx >= (1u << 24)) return fail("memo index too large");
     if (memo.size() <= idx) memo.resize(idx + 1);
     memo[idx] = v;
+    return true;
   }
 
   bool pop_to_mark(std::vector<ValuePtr>* out) {
@@ -336,14 +348,20 @@ struct Pickle {
         }
         case 'q': {  // BINPUT
           if (!need(1)) return false;
-          put_memo(*p++, stack.back()); break;
+          if (stack.empty()) return fail("memo put on empty stack");
+          if (!put_memo(*p++, stack.back())) return false;
+          break;
         }
         case 'r': {  // LONG_BINPUT
           if (!need(4)) return false;
-          put_memo(rd32(p), stack.back()); p += 4; break;
+          if (stack.empty()) return fail("memo put on empty stack");
+          if (!put_memo(rd32(p), stack.back())) return false;
+          p += 4;
+          break;
         }
         case 0x94:  // MEMOIZE
-          put_memo(memo.size(), stack.back());
+          if (stack.empty()) return fail("memo put on empty stack");
+          if (!put_memo(memo.size(), stack.back())) return false;
           break;
         case 'h': {  // BINGET
           if (!need(1)) return false;

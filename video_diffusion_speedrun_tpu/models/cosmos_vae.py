@@ -23,6 +23,7 @@ of the output depends only on latent frames ≤ ceil(t/4)).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Tuple
 
@@ -305,6 +306,14 @@ def load_decoder_params(npz_path: str,
     return rebuild(template, "")
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_decode():
+    # one process-wide jit wrapper: a fresh jax.jit per decode_video call
+    # would discard the compiled-program cache between videos (tens of
+    # seconds of recompilation per sample at identical shapes)
+    return jax.jit(cosmos_decode, static_argnums=1)
+
+
 def decode_video(params: Dict, cfg: CosmosDecoderConfig,
                  latent: jnp.ndarray,
                  chunk_frames: int | None = None,
@@ -321,7 +330,7 @@ def decode_video(params: Dict, cfg: CosmosDecoderConfig,
     squeeze = latent.ndim == 4
     if squeeze:
         latent = latent[None]
-    decode = jax.jit(cosmos_decode, static_argnums=1)
+    decode = _jitted_decode()
 
     t = latent.shape[2]
     if chunk_frames is None or t <= chunk_frames:

@@ -37,15 +37,17 @@ def _kernel(s_ref, p_ref, m_ref, v_ref, g_ref, p2_ref, m2_ref, v2_ref,
     bc1 = s_ref[0, 1]
     bc2 = s_ref[0, 2]
     g = g_ref[...].astype(jnp.float32)
-    m2 = b1 * m_ref[...] + (1.0 - b1) * g
-    v2 = b2 * v_ref[...] + (1.0 - b2) * jnp.square(g)
+    # moment MATH is fp32 regardless of storage dtype (the bf16-moments
+    # contract in train/optim.py: storage rounding only)
+    m2 = b1 * m_ref[...].astype(jnp.float32) + (1.0 - b1) * g
+    v2 = b2 * v_ref[...].astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
     direction = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
     p = p_ref[...]
     pf = p.astype(jnp.float32)
     p2_ref[...] = (pf + (-(lr * lr_t) * (direction + wd * pf))).astype(
         p2_ref.dtype)
-    m2_ref[...] = m2
-    v2_ref[...] = v2
+    m2_ref[...] = m2.astype(m2_ref.dtype)
+    v2_ref[...] = v2.astype(v2_ref.dtype)
 
 
 def _pick_block(rows: int, max_rows: int):

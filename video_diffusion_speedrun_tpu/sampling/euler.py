@@ -13,10 +13,14 @@ TPU-first differences:
 - cond and uncond run as a single batched forward (2B) per step instead of
   two sequential model calls (`sample.py:139-141`) — same FLOPs, better MXU
   occupancy and half the kernel launches;
-- RoPE crop-jitter is OFF by default for deterministic sampling (the
-  reference re-jitters positions on every forward *including* between the
-  cond/uncond branches of one step — SURVEY.md §Quirks #2); pass
-  `rope_jitter_rng` to reproduce that behaviour.
+- RoPE crop-jitter is OFF by default for deterministic sampling; pass
+  `rope_jitter_rng` to re-enable per-step jitter. Note one deliberate
+  difference from the reference (which re-jitters on every forward,
+  *including* between the cond/uncond branches of one step — SURVEY.md
+  §Quirks #2): the batched 2B forward draws ONE offset per step, shared by
+  cond and uncond, so the reference's divergent-offset CFG trajectories
+  are not bit-reproducible here (a fixed bias of its quirk, like
+  rope_order="matched").
 """
 
 from __future__ import annotations

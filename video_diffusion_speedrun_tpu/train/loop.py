@@ -128,7 +128,32 @@ class Trainer:
     def _loader(self, split: str) -> Iterator[Dict]:
         dcfg = self.cfg.data
         ds = self._dataset(split)
-        per_host = self.cfg.batch_size // jax.process_count()
+        global_batch = self.cfg.batch_size
+        if split != "train" and global_batch > len(ds):
+            # the pinned test split is 40 rows (`sharded_dataset.py:18-19`);
+            # the canonical global batch (64 on 8 chips) exceeds it. The
+            # reference sidesteps this by evaluating each rank on the full
+            # split independently (`train.py:366-374`); here the batch is
+            # global, so clamp it to the largest shardable size ≤ len(ds):
+            # divisible by the mesh's data shards AND by process_count so
+            # every host contributes an equal slice.
+            import math
+
+            n_data = 1
+            for ax in ("replica", "fsdp"):
+                n_data *= self.mesh.shape.get(ax, 1)
+            g = math.lcm(n_data, jax.process_count())
+            global_batch = (len(ds) // g) * g
+            if global_batch == 0:
+                raise ValueError(
+                    f"test split ({len(ds)} rows) cannot fill one batch "
+                    f"slice per data shard ({n_data} shards × "
+                    f"{jax.process_count()} hosts)"
+                )
+            self.logger.info(
+                "eval batch clamped %d -> %d (test split has %d rows)",
+                self.cfg.batch_size, global_batch, len(ds))
+        per_host = global_batch // jax.process_count()
         sampler = ShardedSampler(
             len(ds), per_host, jax.process_index(), jax.process_count(),
             seed=dcfg.shuffle_seed, shuffle=(split == "train"),

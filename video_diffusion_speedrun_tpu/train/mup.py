@@ -36,13 +36,13 @@ def _leaf_rule(
     name: str,
     shape: Tuple[int, ...],
     is_weight: bool,
-    is_stacked: bool,
     learning_rate: float,
     weight_decay: float,
     cfg: OptimizerConfig,
 ) -> Tuple[float, float]:
     """(absolute lr, wd) for one leaf. `is_weight` marks [in, out]-layout
-    dense kernels; `is_stacked` marks a leading scan-depth axis to ignore."""
+    dense kernels (stacked block leaves [depth, in, out] included — the
+    shape[-2] fan-in convention already ignores the leading scan axis)."""
     if any(s in name for s in NO_DECAY_SUBSTRINGS):
         lr = learning_rate * cfg.no_decay_lr_mult
         wd = 0.0
@@ -82,10 +82,9 @@ def mup_table(
     def rule_for(path, leaf):
         keys = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
         name = ".".join(keys)
-        is_stacked = keys[0] == "blocks"
         is_weight = keys[-1] == "weight" and leaf.ndim >= 2
         lr, wd = _leaf_rule(
-            name, tuple(leaf.shape), is_weight, is_stacked,
+            name, tuple(leaf.shape), is_weight,
             learning_rate, weight_decay, cfg,
         )
         settings[name] = {"lr": lr, "wd": wd, "shape": tuple(leaf.shape)}

@@ -42,13 +42,16 @@ def dit_forward_flops(cfg: DiTConfig, batch: int, t: int, h: int, w: int,
         2 * l_tot * d * 3 * d          # qkv
         + 4 * l_tot * l_tot * d        # self-attn: QK^T + PV
         + 2 * l_tot * d * d            # attn proj
-        + 2 * l_tot * d * d            # q_cross
-        + 2 * lc * cfg.cross_attn_input_size * 2 * d  # context kv
-        + 4 * l_tot * lc * d           # cross-attn
-        + 2 * l_tot * d * d            # cross proj
         + 4 * l_tot * d * cfg.mlp_hidden  # mlp (fc1 + fc2)
         + 2 * d * 9 * d                # adaLN (per sample)
     )
+    if cfg.cross_attn_input_size is not None:  # gated like the model
+        per_block += (
+            2 * l_tot * d * d          # q_cross
+            + 2 * lc * cfg.cross_attn_input_size * 2 * d  # context kv
+            + 4 * l_tot * lc * d       # cross-attn
+            + 2 * l_tot * d * d        # cross proj
+        )
     time_embed = 2 * d * 4 * d * 2
     final = 2 * l * d * cfg.out_patch_dim + 2 * d * 2 * d
     return batch * (patch + cfg.depth * per_block + time_embed + final)

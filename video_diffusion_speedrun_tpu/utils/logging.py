@@ -78,15 +78,24 @@ class StepTimer:
 
     def __init__(self, every: int = 10):
         self.every = every
-        self._t0 = time.perf_counter()
+        self._t0: Optional[float] = None  # set at the first tick
         self._steps = 0
+        self._window = 0
         self.avg_ms: Optional[float] = None
 
     def tick(self) -> Optional[float]:
+        now = time.perf_counter()
         self._steps += 1
-        if self._steps % self.every == 0:
-            now = time.perf_counter()
-            self.avg_ms = (now - self._t0) / self.every * 1000
+        if self._t0 is None:
+            # first completed step: start the window HERE so the step-0 jit
+            # compile and loader startup never enter a per-step average (the
+            # first reported avg would otherwise read seconds, not ms)
             self._t0 = now
+            return None
+        self._window += 1
+        if self._steps % self.every == 0:
+            self.avg_ms = (now - self._t0) / self._window * 1000
+            self._t0 = now
+            self._window = 0
             return self.avg_ms
         return None

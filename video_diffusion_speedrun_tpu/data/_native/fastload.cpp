@@ -181,6 +181,7 @@ ValuePtr mk(Value::Kind k) {
 struct Pickle {
   const uint8_t* p;
   const uint8_t* end;
+  const uint8_t* begin = nullptr;  // set at construction; bounds the memo
   std::vector<ValuePtr> stack;
   std::vector<ValuePtr> memo;
   std::string err;
@@ -193,9 +194,14 @@ struct Pickle {
   }
 
   bool put_memo(size_t idx, ValuePtr v) {
-    // idx is untrusted (LONG_BINPUT carries a raw 32-bit index): cap the
-    // table so a crafted index can't demand a ~4-billion-entry resize
-    if (idx >= (1u << 24)) return fail("memo index too large");
+    // idx is untrusted (LONG_BINPUT carries a raw 32-bit index). Every
+    // legitimate memo slot costs at least one opcode byte, so the table can
+    // never legitimately exceed the pickle's own length — bound it there
+    // (with a 1<<20 ceiling; torch tensor pickles use a handful of slots),
+    // so a ~10-byte crafted blob can at most force a ~10-entry resize.
+    size_t cap = (size_t)(end - begin);
+    if (cap > (1u << 20)) cap = 1u << 20;
+    if (idx >= cap) return fail("memo index too large");
     if (memo.size() <= idx) memo.resize(idx + 1);
     memo[idx] = v;
     return true;
@@ -523,7 +529,7 @@ PyObject* load_tensor_impl(PyObject*, PyObject* arg) {
     return nullptr;
   }
 
-  Pickle vm{pkl, pkl + pe.size};
+  Pickle vm{pkl, pkl + pe.size, pkl};
   if (!vm.run()) {
     PyBuffer_Release(&buf);
     PyErr_SetString(PyExc_ValueError, ("fastload pickle: " + vm.err).c_str());

@@ -139,8 +139,10 @@ class Trainer:
             # every host contributes an equal slice.
             import math
 
+            from video_diffusion_speedrun_tpu.parallel.mesh import DATA_AXES
+
             n_data = 1
-            for ax in ("replica", "fsdp"):
+            for ax in DATA_AXES:
                 n_data *= self.mesh.shape.get(ax, 1)
             g = math.lcm(n_data, jax.process_count())
             global_batch = (len(ds) // g) * g

@@ -63,12 +63,12 @@ def main():
         rngs = [jax.random.PRNGKey(100 + i) for i in range(16)]
 
         p, o = params, opt
-        p, o, l = step(p, o, lat, ctx, rngs[0])  # compile
+        p, o, l, _ = step(p, o, lat, ctx, rngs[0])  # compile
         float(l)
 
         def run(n, p, o):
             for i in range(n):
-                p, o, l = step(p, o, lat, ctx, rngs[i % 16])
+                p, o, l, _ = step(p, o, lat, ctx, rngs[i % 16])
             float(jnp.asarray(o.count)); float(l)
             return p, o, l
 

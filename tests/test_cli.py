@@ -39,6 +39,22 @@ class TestTrainCLI:
         ], catch_exceptions=False)
         assert r.exit_code == 0, r.output
 
+    def test_optimizer_in_backward_run(self):
+        """The north-star XL regime's optimizer launches from the production
+        CLI (tiny shapes here; the XL config itself is bench.py --xl)."""
+        mod = _load_cli("train")
+        r = CliRunner().invoke(mod.main, [
+            "--max_steps", "3", "--batch_size", "8",
+            "--model_width", "64", "--model_depth", "2",
+            "--model_head_dim", "32", "--evaluate_every", "3",
+            "--log_every", "2", "--dataset", "synthetic",
+            "--allow_random_context", "true", "--num_epochs", "1",
+            "--optimizer_in_backward", "true", "--nu_factored", "true",
+            "--param_dtype", "fp32", "--moments_dtype", "bf16",
+            "--grad_accum", "2",
+        ], catch_exceptions=False)
+        assert r.exit_code == 0, r.output
+
     def test_unknown_optimizer_rejected(self):
         mod = _load_cli("train")
         r = CliRunner().invoke(mod.main, [

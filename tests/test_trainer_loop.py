@@ -89,6 +89,35 @@ class TestTrainerLoop:
         t2 = Trainer(cfg2)
         assert int(t2.state.step) == 11  # resumed at saved step
 
+    def test_inloop_trainer_checkpoint_resume(self, tmp_path):
+        """Optimizer-in-backward through the production Trainer: trains,
+        evals, checkpoints the InloopOptState (incl. factored-nu FNu
+        leaves) via orbax, and resumes — round-3 VERDICT next #1."""
+        from video_diffusion_speedrun_tpu.train.inloop import FNu
+
+        okw = OptimizerConfig(learning_rate=0.01, scheduler="linear",
+                              warmup_steps=2, in_backward=True,
+                              nu_factored=True, nu_factored_min_size=1)
+        cfg = _cfg(tmp_path, max_steps=11, run_name="inloop1", optimizer=okw,
+                   grad_accum=2)
+        t1 = Trainer(cfg)
+        last = t1.train()
+        assert np.isfinite(last["train/total_loss"])
+        assert "test/total_loss" in last
+
+        # max_steps=16 so a log interval (log_every=5 → step 15) lands
+        # after the resume point and train() returns fresh train metrics
+        cfg2 = _cfg(tmp_path, max_steps=16, run_name="inloop2", optimizer=okw,
+                    grad_accum=2, load_checkpoint=str(tmp_path / "inloop1"))
+        t2 = Trainer(cfg2)
+        assert int(t2.state.step) == 11
+        assert int(t2.state.opt_state.count) == 11
+        q = t2.state.opt_state.nu["blocks"]["qkv"]["weight"]
+        assert isinstance(q, FNu)
+        assert float(np.abs(np.asarray(q.vr)).max()) > 0  # real state, not zeros
+        last2 = t2.train()  # continues without recompiling surprises
+        assert np.isfinite(last2["train/total_loss"])
+
 
 class TestVariableLengthTraining:
     def test_mixed_clip_lengths_train(self, tmp_path):

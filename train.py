@@ -99,6 +99,28 @@ from video_diffusion_speedrun_tpu.core.config import (  # noqa: E402
                    "matmul outputs; 'attn' saves the flash kernel's o/lse "
                    "(skips the O(L²) recompute — the long-context policy); "
                    "'dots_attn' both")
+@click.option("--optimizer_in_backward", type=bool, default=False,
+              help="fuse the muP-AdamW update into the backward's reverse "
+                   "scan (train/inloop.py): block grads never materialize "
+                   "as a tree — the regime that fits a 2.8B FULL step on "
+                   "one 16 GB chip. Net-slower below XL scale "
+                   "(PERFORMANCE.md). With --grad_accum N the per-block "
+                   "backward is chunked (identical numerics)")
+@click.option("--nu_factored", type=bool, default=False,
+              help="with --optimizer_in_backward: store large 2-D block "
+                   "second moments rank-1 (Adafactor factored nu, momentum "
+                   "exact) — nu HBM drops from O(params) to O(rows+cols)")
+@click.option("--param_dtype", type=click.Choice(["fp32", "bf16"]),
+              default="fp32",
+              help="parameter storage dtype. bf16 halves param HBM (the XL "
+                   "one-chip regime stores params bf16; FSDP pods keep "
+                   "fp32 masters like the reference MixedPrecisionPolicy)")
+@click.option("--context_dim", type=int, default=4096,
+              help="cross-attention context width — both the model's "
+                   "cross_attn_input_size and the loader's context dim "
+                   "(4096 = T5-XXL; smoke-encoder embeddings are 64)")
+@click.option("--checkpoint_dir", type=str, default="checkpoints",
+              help="orbax checkpoint root (run subdir = --run_name)")
 @click.option("--moments_dtype", type=click.Choice(["fp32", "bf16"]),
               default="fp32",
               help="Adam moment STORAGE dtype (math stays fp32). bf16 "
@@ -117,7 +139,8 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          mesh_replica,
          mesh_fsdp, mesh_context, mesh_tensor, use_t5, embeddings_dir, seed,
          use_wandb, grad_accum, allow_random_context, scan_blocks, remat,
-         remat_policy, moments_dtype, platform):
+         remat_policy, optimizer_in_backward, nu_factored, param_dtype,
+         context_dim, checkpoint_dir, moments_dtype, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
     if platform is not None:
@@ -144,10 +167,11 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
         in_channels=16, patch_size=2, time_patch_size=2,
         hidden_size=model_width, depth=model_depth,
         num_heads=model_width // model_head_dim, mlp_ratio=4.0,
-        cross_attn_input_size=4096, residual_v=True,
+        cross_attn_input_size=context_dim, residual_v=True,
         train_bias_and_rms=train_bias_and_rms, use_rope=True,
         rope_order=rope_order, scan_blocks=scan_blocks, remat=remat,
         remat_policy=remat_policy,
+        param_dtype=(jnp.bfloat16 if param_dtype == "bf16" else jnp.float32),
     )
     cfg = TrainConfig(
         model=model,
@@ -164,10 +188,12 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
             bucket_by_shape=bool(synthetic_t_choices),
             allow_random_context=allow_random_context,
             embeddings_dir=embeddings_dir,
+            context_dim=context_dim,
         ),
         optimizer=OptimizerConfig(
             learning_rate=learning_rate, scheduler=lr_scheduler_type,
             moments_dtype=(jnp.bfloat16 if moments_dtype == "bf16" else None),
+            in_backward=optimizer_in_backward, nu_factored=nu_factored,
         ),
         num_epochs=num_epochs, batch_size=batch_size, max_steps=max_steps,
         grad_accum=grad_accum,
@@ -175,7 +201,7 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
         project_name=project_name, seed=seed,
         init_std_factor=init_std_factor, t5_return_index=return_index,
         load_checkpoint=load_checkpoint, wandb=use_wandb,
-        log_every=log_every,
+        log_every=log_every, checkpoint_dir=checkpoint_dir,
     )
 
     prompt_encoder = None

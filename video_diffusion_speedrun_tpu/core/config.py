@@ -219,6 +219,20 @@ class OptimizerConfig:
     # jnp.bfloat16 halves optimizer HBM (XL one-chip regime). Moment MATH
     # always runs fp32 with cast-out storage (train/optim.py).
     moments_dtype: Any = None
+    # optimizer-in-backward (train/inloop.py): fuse the muP-AdamW update
+    # into a hand-rolled reverse scan so each block's gradients exist for
+    # one iteration only — the regime that fits a 2.8B FULL step on one
+    # 16 GB chip (a standard value_and_grad step cannot; PERFORMANCE.md
+    # "XL FULL step"). Net-slower below XL scale (measured-and-rejected at
+    # width 512); no reference equivalent (its FSDP shards the same memory
+    # across GPUs instead, `model.py:512-542`).
+    in_backward: bool = False
+    # with in_backward: store 2-D block second moments rank-1 (Adafactor
+    # factored nu, momentum exact — PaLM-style), dropping nu HBM from
+    # O(params) to O(rows+cols). Leaves smaller than nu_factored_min_size
+    # keep exact nu.
+    nu_factored: bool = False
+    nu_factored_min_size: int = 1 << 20
     # names treated as embedding-like constants (`train.py:287`).
     constant_param_classes: tuple = ("patch_proj", "context_kv", "positional_embedding")
     # "time"/"modulation" lr override factor (`model.py:447-450`).

@@ -121,14 +121,25 @@ def build_inloop_step(
     nu_factored_min_size: int = 1 << 20,
     alpha: float = 8.0,
     caption_dropout: float = 0.01,
+    grad_accum: int = 1,
 ):
     """Returns (init_opt, step, settings).
 
     init_opt(params) → InloopOptState (moments in ocfg.moments_dtype or
     param dtype; 2-D block nu leaves ≥ nu_factored_min_size stored rank-1
     when nu_factored).
-    step(params, opt, latent, context, rng) → (params, opt, loss) — jit it
-    with donate_argnums=(0, 1).
+    step(params, opt, latent, context, rng) → (params, opt, loss, aux) —
+    jit it with donate_argnums=(0, 1). aux carries the same per-sample /
+    timestep-decile metrics as rectified_flow_loss.
+
+    `grad_accum > 1` chunks the per-block vjp along the batch axis (a
+    lax.scan over batch/grad_accum-sized chunks, per-block dW summed in
+    fp32): the full batch still runs one forward, but the backward's
+    internal residuals exist for one chunk at a time. Unlike the standard
+    step's microbatch accumulation (train/step.py, per-microbatch rng),
+    this computes EXACTLY the full-batch gradients — grad_accum here is
+    purely a backward-memory knob with unchanged numerics (tested in
+    tests/test_inloop.py).
     """
     lr_tree, wd_tree, settings = mup_table(
         params_like, ocfg.learning_rate, ocfg.weight_decay, ocfg)
@@ -198,6 +209,9 @@ def build_inloop_step(
         cdt = cfg.compute_dtype
         t_rng, noise_rng, drop_rng, rope_rng = jax.random.split(rng, 4)
         b = latent.shape[0]
+        if grad_accum > 1 and b % grad_accum != 0:
+            raise ValueError(
+                f"batch {b} not divisible by grad_accum {grad_accum}")
         _, _, t_len, h_len, w_len = latent.shape
         pt, p = cfg.time_patch_size, cfg.patch_size
         latent = latent[:, :, : t_len // pt * pt, : h_len // p * p,
@@ -294,6 +308,50 @@ def build_inloop_step(
             nu_all = jax.tree.map(put, nu_all, v2, nu_i)
             return (bp_all, mu_all, nu_all)
 
+        def block_vjp(bp, x_in, v0_in, idx, dx, dv_out):
+            """vjp of one block w.r.t. (bp, x_in, v0_in, te). grad_accum > 1
+            scans batch chunks so the backward's internal residuals exist
+            for one chunk at a time (per-block dW summed in fp32 — the same
+            accumulation the full-batch MXU pass does internally)."""
+            def f(bp_, x_, v0_, te_, ctx_):
+                return block_forward(bp_, cfg, x_, ctx_, te_, cos, sin,
+                                     v0_, idx > 0, None, None)
+
+            if grad_accum <= 1:
+                _, vjp_f = jax.vjp(
+                    lambda bp_, x_, v0_, te_: f(bp_, x_, v0_, te_, context),
+                    bp, x_in, v0_in, te)
+                return vjp_f((dx, dv_out))
+
+            def chunk(a):
+                return a.reshape(grad_accum, a.shape[0] // grad_accum,
+                                 *a.shape[1:])
+
+            seqs = (chunk(x_in), chunk(v0_in), chunk(te), chunk(dx),
+                    chunk(dv_out),
+                    chunk(context) if context is not None else None)
+            dbp0 = jax.tree.map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), bp)
+
+            def chunk_body(dbp_acc, ch):
+                x_c, v0_c, te_c, dx_c, dv_c, ctx_c = ch
+                _, vjp_c = jax.vjp(
+                    lambda bp_, x_, v0_, te_: f(bp_, x_, v0_, te_, ctx_c),
+                    bp, x_c, v0_c, te_c)
+                dbp_c, dx_in_c, dv0_in_c, dte_c = vjp_c((dx_c, dv_c))
+                dbp_acc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), dbp_acc, dbp_c)
+                return dbp_acc, (dx_in_c, dv0_in_c, dte_c)
+
+            dbp_f32, (dx_s, dv0_s, dte_s) = jax.lax.scan(
+                chunk_body, dbp0, seqs)
+            dbp = jax.tree.map(lambda a, p_: a.astype(p_.dtype), dbp_f32, bp)
+
+            def unchunk(a):
+                return a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+
+            return dbp, unchunk(dx_s), unchunk(dv0_s), unchunk(dte_s)
+
         def bwd_body(carry, inp):
             # software-pipelined: this iteration applies the update for the
             # PREVIOUS block (carried grads) while computing this block's
@@ -306,16 +364,12 @@ def build_inloop_step(
             bp = _take(state[0], idx)
             v0_in = jnp.where(idx == 0, jnp.zeros_like(v0), v0)
 
-            def f(bp_, x_, v0_, te_):
-                return block_forward(bp_, cfg, x_, context, te_, cos, sin,
-                                     v0_, idx > 0, None, None)
-
-            _, vjp_f = jax.vjp(f, bp, x_in, v0_in, te)
             # block 0's v output becomes v0 for every later block: its
             # cotangent is the accumulated dv0; other blocks' v is unused
             dv_out = jnp.where(idx == 0, dv0.astype(cdt_),
                                jnp.zeros_like(v0))
-            dbp, dx_in, dv0_in, dte_i = vjp_f((dx, dv_out))
+            dbp, dx_in, dv0_in, dte_i = block_vjp(bp, x_in, v0_in, idx,
+                                                  dx, dv_out)
             # fp32 accumulators for the shared-input cotangents
             dv0 = jnp.where(idx == 0, dv0,
                             dv0 + dv0_in.astype(jnp.float32))
@@ -361,6 +415,19 @@ def build_inloop_step(
         new_nu.update(vpp2)
         new_nu.update(vsp2)
         new_nu["blocks"] = new_nu_b
-        return new_params, InloopOptState(count, new_mu, new_nu), loss
+
+        # same aux surface as rectified_flow_loss (timestep-decile bins —
+        # the working version of the reference's dead binning code,
+        # `train.py:127-137`)
+        lps32 = lps.astype(jnp.float32)
+        tbin = jnp.clip((timesteps * 10).astype(jnp.int32), 0, 9)
+        aux = {
+            "loss_per_sample": lps32,
+            "timesteps": timesteps,
+            "bin_sums": jax.ops.segment_sum(lps32, tbin, num_segments=10),
+            "bin_counts": jax.ops.segment_sum(jnp.ones_like(lps32), tbin,
+                                              num_segments=10),
+        }
+        return new_params, InloopOptState(count, new_mu, new_nu), loss, aux
 
     return init_opt, step, settings

@@ -114,28 +114,14 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh, *,
     mcfg = cfg.model
 
     def _make_params(rng):
-        return init_dit(rng, mcfg, init_std_factor=cfg.init_std_factor)
+        return init_dit(rng, mcfg, init_std_factor=cfg.init_std_factor,
+                        dtype=mcfg.param_dtype)
 
-    # Build optimizer against abstract params (shapes only).
+    # Abstract params (shapes only) for optimizer construction + shardings.
     params_shape = jax.eval_shape(_make_params, jax.random.PRNGKey(0))
-    tx, settings, schedule, tx_args = build_optimizer(
-        params_shape, cfg.optimizer.learning_rate, cfg.max_steps, cfg.optimizer
-    )
-
     params_shd = param_shardings(params_shape, mesh)
-    st_shd = state_shardings(params_shd, mesh)
     b_shd = batch_shardings(mesh, device_context)
     repl = NamedSharding(mesh, P())
-
-    def _init(rng):
-        params = _make_params(rng)
-        return TrainState(
-            params=params,
-            opt_state=tx.init(params),
-            step=jnp.zeros((), jnp.int32),
-        )
-
-    init_fn = jax.jit(_init, out_shardings=st_shd)
 
     tok_shd = (
         NamedSharding(mesh, token_pspec())
@@ -159,37 +145,61 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh, *,
             token_sharding=tok_shd,
         )
 
-    def _grads(params, batch, rng):
-        if cfg.grad_accum <= 1:
-            return jax.value_and_grad(_loss_fn, has_aux=True)(params, batch, rng)
-        return accumulate_grads(_loss_fn, params, batch, rng, cfg.grad_accum)
+    if cfg.optimizer.in_backward:
+        init_fn, train_step, settings = _build_inloop_branch(
+            cfg, mesh, _make_params, params_shape, params_shd, b_shd, repl)
+    else:
+        tx, settings, schedule, tx_args = build_optimizer(
+            params_shape, cfg.optimizer.learning_rate, cfg.max_steps,
+            cfg.optimizer)
+        st_shd = state_shardings(params_shd, mesh)
 
-    def _train_step(state: TrainState, batch, base_rng) -> Tuple[TrainState, Dict]:
-        # per-step rng derived on-device from the step counter: deterministic,
-        # resume-exact, and no host-side key splitting in the hot loop
-        rng = jax.random.fold_in(base_rng, state.step)
-        (loss, aux), grads = _grads(state.params, batch, rng)
-        # one-pass fused muP-AdamW (≡ tx.update + apply_updates; see optim.py)
-        params, opt_state = fused_apply(tx_args, grads, state.opt_state,
-                                        state.params)
-        new_state = TrainState(params, opt_state, state.step + 1)
-        metrics = {
-            "loss": loss,
-            "diffusion_loss": loss,
-            "lr_scale": schedule(state.step),
-            "bin_sums": aux["bin_sums"],
-            "bin_counts": aux["bin_counts"],
-        }
-        if cfg.log_grad_norm:
-            metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+        def _init(rng):
+            params = _make_params(rng)
+            return TrainState(
+                params=params,
+                opt_state=tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
 
-    train_step = jax.jit(
-        _train_step,
-        in_shardings=(st_shd, b_shd, repl),
-        out_shardings=(st_shd, None),
-        donate_argnums=(0,),
-    )
+        init_fn = jax.jit(_init, out_shardings=st_shd)
+
+        def _grads(params, batch, rng):
+            if cfg.grad_accum <= 1:
+                return jax.value_and_grad(_loss_fn, has_aux=True)(
+                    params, batch, rng)
+            return accumulate_grads(_loss_fn, params, batch, rng,
+                                    cfg.grad_accum)
+
+        def _train_step(state: TrainState, batch, base_rng
+                        ) -> Tuple[TrainState, Dict]:
+            # per-step rng derived on-device from the step counter:
+            # deterministic, resume-exact, and no host-side key splitting
+            # in the hot loop
+            rng = jax.random.fold_in(base_rng, state.step)
+            (loss, aux), grads = _grads(state.params, batch, rng)
+            # one-pass fused muP-AdamW (≡ tx.update + apply_updates;
+            # see optim.py)
+            params, opt_state = fused_apply(tx_args, grads, state.opt_state,
+                                            state.params)
+            new_state = TrainState(params, opt_state, state.step + 1)
+            metrics = {
+                "loss": loss,
+                "diffusion_loss": loss,
+                "lr_scale": schedule(state.step),
+                "bin_sums": aux["bin_sums"],
+                "bin_counts": aux["bin_counts"],
+            }
+            if cfg.log_grad_norm:
+                metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        train_step = jax.jit(
+            _train_step,
+            in_shardings=(st_shd, b_shd, repl),
+            out_shardings=(st_shd, None),
+            donate_argnums=(0,),
+        )
 
     def _eval_step(params, batch, rng):
         loss, aux = _loss_fn(params, batch, rng)
@@ -203,3 +213,95 @@ def build_train_step(cfg: TrainConfig, mesh: Mesh, *,
     eval_step = jax.jit(_eval_step, in_shardings=(params_shd, b_shd, repl))
 
     return init_fn, train_step, eval_step, settings
+
+
+def _build_inloop_branch(cfg: TrainConfig, mesh: Mesh, make_params,
+                         params_shape, params_shd, b_shd, repl):
+    """Optimizer-in-backward production step (cfg.optimizer.in_backward):
+    wraps train/inloop.py's fused reverse-scan step in the TrainState
+    interface so the Trainer / CLI / orbax checkpointing drive it exactly
+    like the standard step. The regime this enables — a 2.8B FULL train
+    step on one 16 GB chip — is the north-star XL config
+    (PERFORMANCE.md "XL FULL step")."""
+    from video_diffusion_speedrun_tpu.parallel.fsdp import param_shardings
+    from video_diffusion_speedrun_tpu.train.inloop import (
+        InloopOptState,
+        build_inloop_step,
+    )
+    from video_diffusion_speedrun_tpu.train.schedules import get_schedule
+
+    mcfg = cfg.model
+    ocfg = cfg.optimizer
+    if mesh.shape[AXIS_CONTEXT] > 1:
+        raise NotImplementedError(
+            "optimizer_in_backward does not support the context "
+            "(sequence-parallel) mesh axis: its hand-rolled forward has no "
+            "token_sharding path — use the standard step for CP runs"
+        )
+    if cfg.log_grad_norm:
+        raise ValueError(
+            "log_grad_norm is unavailable with optimizer_in_backward: the "
+            "full gradient tree never materializes (that is the point)"
+        )
+
+    init_opt, inloop_step, settings = build_inloop_step(
+        mcfg, ocfg, params_shape, max_steps=cfg.max_steps,
+        nu_factored=ocfg.nu_factored,
+        nu_factored_min_size=ocfg.nu_factored_min_size,
+        alpha=cfg.time_shift_alpha,
+        caption_dropout=cfg.caption_dropout,
+        grad_accum=cfg.grad_accum,
+    )
+    schedule = get_schedule(ocfg.scheduler, ocfg.warmup_steps, cfg.max_steps)
+
+    # moments mirror the param shardings leaf-for-leaf (ZeRO); factored-nu
+    # FNu leaves get the generic largest-divisible-dim rule (their paths
+    # start at "blocks" here, keeping the stacked depth axis unsharded)
+    opt_shape = jax.eval_shape(init_opt, params_shape)
+    opt_shd = InloopOptState(
+        count=repl,
+        mu=param_shardings(opt_shape.mu, mesh),
+        nu=param_shardings(opt_shape.nu, mesh),
+    )
+    st_shd = TrainState(params=params_shd, opt_state=opt_shd, step=repl)
+
+    def _init(rng):
+        params = make_params(rng)
+        return TrainState(params=params, opt_state=init_opt(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    init_fn = jax.jit(_init, out_shardings=st_shd)
+
+    def _train_step(state: TrainState, batch, base_rng
+                    ) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(base_rng, state.step)
+        context = batch.get("context")
+        if context is None and mcfg.cross_attn_input_size is not None:
+            # same on-device synthetic context as the standard step's
+            # _loss_fn (identical fold constant → identical draws)
+            b = batch["latent"].shape[0]
+            context = 0.05 * jax.random.normal(
+                jax.random.fold_in(rng, 0x0C7E),
+                (b, cfg.data.caption_tokens, cfg.data.context_dim),
+                mcfg.compute_dtype,
+            )
+            context = jax.lax.with_sharding_constraint(
+                context, NamedSharding(mesh, P(DATA_AXES)))
+        params, opt, loss, aux = inloop_step(
+            state.params, state.opt_state, batch["latent"], context, rng)
+        metrics = {
+            "loss": loss,
+            "diffusion_loss": loss,
+            "lr_scale": schedule(state.step),
+            "bin_sums": aux["bin_sums"],
+            "bin_counts": aux["bin_counts"],
+        }
+        return TrainState(params, opt, state.step + 1), metrics
+
+    train_step = jax.jit(
+        _train_step,
+        in_shardings=(st_shd, b_shd, repl),
+        out_shardings=(st_shd, None),
+        donate_argnums=(0,),
+    )
+    return init_fn, train_step, settings

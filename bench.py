@@ -1,19 +1,31 @@
-"""Benchmark: canonical-config DiT training step on the real TPU chip.
+"""Benchmark: DiT training step regimes on the real TPU chip.
 
-Mirrors the reference's implicit baseline — run_debug.sh's per-device config
-(batch 8/rank, width 512, depth 24, head_dim 128; `/root/reference/
-run_debug.sh:12-25`) measured with the same semantics as its per-10-step
-average fwd+bwd step timer (`train.py:441-451`) — and reports latent
-tokens/sec/chip + MFU (BASELINE.md north star: MFU ≥ 50%).
+Default (driver mode, no args) mirrors the reference's implicit baseline —
+run_debug.sh's per-device config (batch 8/rank, width 512, depth 24,
+head_dim 128; `/root/reference/run_debug.sh:12-25`) measured with the same
+semantics as its per-10-step average fwd+bwd step timer
+(`train.py:441-451`) — and reports latent tokens/sec/chip + MFU
+(BASELINE.md north star: MFU >= 50%). Two JSON lines: the production
+odd-frame shape first, the canonical headline LAST (drivers parse the
+final line).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Opt-in modes (round-3 VERDICT next #5 — make the north-star numbers
+driver-verifiable through ONE harness instead of PERFORMANCE.md prose):
+
+  python bench.py --xl       # DiT-XL 2.8B FULL step on one chip via the
+                             # production optimizer-in-backward path
+                             # (--optimizer_in_backward in train.py)
+  python bench.py --longctx  # L=8208 full step (latent [16,16,64,64])
+
+All modes run the SAME production `build_train_step` the Trainer/CLI use
+and emit the same JSON schema:
+{"metric", "value", "unit", "vs_baseline", ...extras}, vs_baseline =
+MFU / 0.50 (the north-star target).
 """
 
 import json
 import sys
 import time
-
-sys.path.insert(0, ".")
 
 
 def main():
@@ -38,24 +50,13 @@ def main():
     n_dev = len(jax.devices())
     device_kind = jax.devices()[0].device_kind
 
-    # canonical speedrun config (run_debug.sh): width 512, depth 24, head 128
-    # unrolled blocks + no remat measure ~1.65x faster than scan+remat on
-    # this config (scripts/perf_ablate.py); memory fits comfortably at
-    # width 512. Larger models flip remat back on.
-    model = DiTConfig(
-        in_channels=16, patch_size=2, time_patch_size=2, hidden_size=512,
-        depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
-        train_bias_and_rms=False, scan_blocks=False, remat=False,
-    )
-    LC = 512
-
-    def measure(T, H, W):
-        B, C = 8 * n_dev, 16  # batch 8 per chip
+    def measure(model, metric, B_per_chip, T, H, W, LC, optimizer,
+                windows=(5, 25), trials=3, config_extra=""):
+        B, C = B_per_chip * n_dev, model.in_channels
         cfg = TrainConfig(
             model=model,
             mesh=MeshConfig(replica=1, fsdp=n_dev, tensor=1),
-            optimizer=OptimizerConfig(learning_rate=2 ** -6,
-                                      scheduler="linear"),
+            optimizer=optimizer,
             batch_size=B,
             max_steps=5004,
             seed=0,
@@ -77,21 +78,25 @@ def main():
         # expensive, so we (a) warm every program including the scalar
         # readback, then (b) time two window sizes that both end in the
         # same host readback and difference them — fixed dispatch/readback
-        # latency cancels, leaving pure per-step device time.
+        # latency cancels, leaving pure per-step device time. The param
+        # element read forces the full optimizer chain (the loss alone
+        # depends only on the forward).
         def run(n_steps, state, rng):
             for _ in range(n_steps):
                 state, metrics = train_step(state, batch, rng)
+            leaf = jax.tree.leaves(state.params)[0]
+            float(leaf[(0,) * leaf.ndim])
             return state, rng, float(metrics["loss"])
 
         state, rng, loss = run(3, state, rng)  # compile + warm
 
-        k_small, k_big = 5, 25
-        # min each window size independently over 3 trials, THEN
+        k_small, k_big = windows
+        # min each window size independently over `trials`, THEN
         # difference: jitter can only inflate a window, so min() is the
         # clean estimate of each; differencing per-trial then min()-ing
         # would bias dt low when noise lands in a small window
         t_smalls, t_bigs = [], []
-        for _ in range(3):
+        for _ in range(trials):
             t0 = time.perf_counter()
             state, rng, loss = run(k_small, state, rng)
             t_smalls.append(time.perf_counter() - t0)
@@ -108,7 +113,7 @@ def main():
         flops = dit_train_flops(model, B, Tc, H, W, LC)
         mfu = flops / dt / (peak_flops_for(device_kind) * n_dev)
         return {
-            "metric": "dit_train_tokens_per_sec_per_chip",
+            "metric": metric,
             "value": round(tokens_per_sec_per_chip, 1),
             "unit": "latent_tokens/s/chip",
             "vs_baseline": round(mfu / 0.5, 4),  # vs the 50%-MFU target
@@ -116,16 +121,77 @@ def main():
             "step_time_ms": round(dt * 1000, 2),
             "device_kind": device_kind,
             "n_devices": n_dev,
-            "config": f"width512_depth24_head128_batch8perchip_latent16x{T}x{H}x{W}",
+            "config": (f"width{model.hidden_size}_depth{model.depth}_"
+                       f"head{model.hidden_size // model.num_heads}_"
+                       f"batch{B_per_chip}perchip_latent{C}x{T}x{H}x{W}"
+                       + config_extra),
             "loss": loss,
         }
+
+    canonical = DiTConfig(
+        # canonical speedrun config (run_debug.sh): width 512, depth 24,
+        # head 128. unrolled blocks + no remat measure ~1.65x faster than
+        # scan+remat on this config (scripts/perf_ablate.py); memory fits
+        # comfortably at width 512. Larger models flip remat back on.
+        in_channels=16, patch_size=2, time_patch_size=2, hidden_size=512,
+        depth=24, num_heads=4, cross_attn_input_size=4096, residual_v=True,
+        train_bias_and_rms=False, scan_blocks=False, remat=False,
+    )
+    adamw = OptimizerConfig(learning_rate=2 ** -6, scheduler="linear")
+
+    if "--xl" in sys.argv[1:]:
+        # DiT-XL (2.8B) FULL train step on ONE chip: bf16 params +
+        # optimizer-in-backward (block grads never materialize) + bf16
+        # momentum + factored second moments — the north-star regime
+        # (PERFORMANCE.md "XL FULL step"); a standard value_and_grad step
+        # RESOURCE_EXHAUSTs ("Used 21.28G of 15.75G"). Exactly the config
+        # `python train.py --model_width 2048 --model_depth 24
+        #  --optimizer_in_backward true --nu_factored true
+        #  --param_dtype bf16 --moments_dtype bf16` launches.
+        xl = DiTConfig(
+            in_channels=16, patch_size=2, time_patch_size=2,
+            hidden_size=2048, depth=24, num_heads=16,
+            cross_attn_input_size=4096, residual_v=True,
+            train_bias_and_rms=False, scan_blocks=True, remat=True,
+            remat_policy="nothing", param_dtype=jnp.bfloat16,
+        )
+        opt = OptimizerConfig(
+            learning_rate=2 ** -6, scheduler="linear",
+            moments_dtype=jnp.bfloat16, in_backward=True, nu_factored=True,
+        )
+        # B=16 is the headline batch (PERFORMANCE.md "XL FULL step": B=2
+        # measures 38.2%, B=8 49.1%, B=16 50.7% — arithmetic intensity)
+        print(json.dumps(measure(
+            xl, "dit_xl_fullstep_tokens_per_sec_per_chip", 16, 8, 32, 32,
+            512, opt, windows=(2, 8),
+            config_extra="_inloop_bf16mu_factorednu")), flush=True)
+        return
+
+    if "--longctx" in sys.argv[1:]:
+        # L=8208 full step (latent [16,16,64,64] -> 8·32·32 tokens + 16
+        # registers): blocked flash path, no remat (remat=attn measured
+        # WORSE here — 39.2% vs 44.2%, PERFORMANCE.md "DiT-level
+        # long-context"), bf16-stored Adam moments (the HBM lever that
+        # lets the B=2 full step fit)
+        opt = OptimizerConfig(learning_rate=2 ** -6, scheduler="linear",
+                              moments_dtype=jnp.bfloat16)
+        print(json.dumps(measure(
+            canonical,
+            "dit_longctx_fullstep_tokens_per_sec_per_chip", 2, 16, 64, 64,
+            512, opt, windows=(2, 8),
+            config_extra="_bf16moments")), flush=True)
+        return
 
     # production odd-frame shape first (the real 17-frame 256px Cosmos row
     # is latent [16,5,32,32] — floor-crop path, round-2 VERDICT weak #5);
     # the canonical headline prints LAST so drivers parsing the final line
     # keep the comparable metric
-    print(json.dumps(measure(5, 32, 32)), flush=True)
-    print(json.dumps(measure(8, 32, 32)), flush=True)
+    print(json.dumps(measure(
+        canonical, "dit_train_tokens_per_sec_per_chip", 8, 5, 32, 32,
+        512, adamw)), flush=True)
+    print(json.dumps(measure(
+        canonical, "dit_train_tokens_per_sec_per_chip", 8, 8, 32, 32,
+        512, adamw)), flush=True)
 
 
 if __name__ == "__main__":

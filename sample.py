@@ -51,10 +51,19 @@ sys.path.insert(0, ".")
                    "steps per device program (identical numerics); use for "
                    "long videos where one 50-step program would run past "
                    "the TPU runtime's ~1-2 min execution watchdog")
+@click.option("--context_dim", type=int, default=4096,
+              help="cross-attention context width (must match the trained "
+                   "model; 4096 = T5-XXL)")
+@click.option("--smoke_encoder", is_flag=True,
+              help="encode the prompt with a tiny RANDOM-INIT T5 + "
+                   "byte-fallback tokenizer (no FLUX weights needed) — "
+                   "drives the real checkpoint→encode→sample→decode "
+                   "pipeline offline; embeddings are garbage")
 def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
          num_latent_frames, seed, model_width, model_depth, model_head_dim,
          return_index, rope_order, decoder_weights, output, name,
-         random_weights, mesh_context, steps_per_call):
+         random_weights, mesh_context, steps_per_call, context_dim,
+         smoke_encoder):
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +99,7 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
         in_channels=16, patch_size=2, time_patch_size=2,
         hidden_size=model_width, depth=model_depth,
         num_heads=model_width // model_head_dim, mlp_ratio=4.0,
-        cross_attn_input_size=4096, residual_v=True,
+        cross_attn_input_size=context_dim, residual_v=True,
         train_bias_and_rms=False, rope_order=rope_order,
     )
     sampling = SamplingConfig(
@@ -101,24 +110,31 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
     if random_weights or checkpoint is None:
         click.echo("using RANDOM weights (smoke mode)")
         params = init_dit(jax.random.PRNGKey(0), model_cfg, 0.1)
-        context = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
+        context = jax.random.normal(jax.random.PRNGKey(1),
+                                    (1, 512, context_dim),
                                     jnp.bfloat16) * 0.05
     else:
+        from video_diffusion_speedrun_tpu.text.encoder import load_encoder
         from video_diffusion_speedrun_tpu.train.checkpoint import (
             is_orbax_checkpoint,
             load_reference_checkpoint,
             restore_params_for_inference,
         )
-        from video_diffusion_speedrun_tpu.text.encoder import load_encoder
 
         if is_orbax_checkpoint(checkpoint):
-            from video_diffusion_speedrun_tpu.core.config import TrainConfig
-
-            params = restore_params_for_inference(
-                checkpoint, TrainConfig(model=model_cfg))
+            params = restore_params_for_inference(checkpoint)
         else:  # torch reference checkpoint (DCP dir or .pt)
             params = load_reference_checkpoint(checkpoint, model_cfg)
-        encoder = load_encoder()
+        if smoke_encoder:
+            from video_diffusion_speedrun_tpu.text.t5 import T5Config
+
+            click.echo("smoke encoder: tiny RANDOM T5 (embeddings are "
+                       "garbage — pipeline exercise only)")
+            tiny = T5Config(d_model=context_dim, d_kv=16, d_ff=128,
+                            num_layers=2, num_heads=4)
+            encoder = load_encoder(cfg=tiny, allow_random_init=True)
+        else:
+            encoder = load_encoder()
         context = encoder([prompt], return_index=return_index)
 
     token_sharding = None

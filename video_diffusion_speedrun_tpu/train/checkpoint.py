@@ -55,6 +55,24 @@ class CheckpointManager:
         )
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def restore_from_metadata(self, step: Optional[int]) -> Any:
+        """Restore WITHOUT a caller-supplied template: the abstract tree is
+        derived from the checkpoint's own item metadata (shapes/dtypes as
+        saved; custom pytree nodes come back as plain dicts). This makes
+        params-only consumers (sampling) independent of which optimizer
+        variant wrote the state — an in_backward/factored-nu checkpoint
+        restores the same as a standard-AdamW one."""
+        import orbax.checkpoint as ocp
+
+        step = self.latest_step() if step is None else step
+        meta = self._mgr.item_metadata(step)
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype)
+            if hasattr(m, "shape") else m,
+            meta,
+        )
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
@@ -93,14 +111,13 @@ def is_torch_reference_checkpoint(path: str) -> bool:
     return "temp.pt" in entries or any(e.endswith(".distcp") for e in entries)
 
 
-def restore_params_for_inference(path: str, train_cfg) -> Any:
+def restore_params_for_inference(path: str, train_cfg=None) -> Any:
     """Restore only the model params from a full-TrainState orbax checkpoint
-    (for sampling: the optimizer state is not needed). `train_cfg` must
-    describe the same model/optimizer so the state template matches."""
-    import jax
-
-    from video_diffusion_speedrun_tpu.parallel.mesh import build_mesh
-    from video_diffusion_speedrun_tpu.train.step import build_train_step
+    (for sampling: the optimizer state is not needed). The restore template
+    comes from the checkpoint's own metadata, so ANY optimizer variant's
+    state restores (standard AdamW, bf16 moments, optimizer-in-backward
+    with factored nu); `train_cfg` is unused and kept for API stability."""
+    del train_cfg
 
     step = None
     base = os.path.basename(os.path.normpath(path))
@@ -108,13 +125,11 @@ def restore_params_for_inference(path: str, train_cfg) -> Any:
         step = int(base)
         path = os.path.dirname(os.path.normpath(path))
 
-    mesh = build_mesh(train_cfg.mesh)
-    init_fn, *_ = build_train_step(train_cfg, mesh)
-    template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
     mgr = CheckpointManager(path)
-    state = mgr.restore(step, template)
+    state = mgr.restore_from_metadata(step)
     mgr.close()
-    return state.params
+    # custom pytree nodes (TrainState) come back as plain dicts
+    return state["params"] if isinstance(state, dict) else state.params
 
 
 def load_reference_checkpoint(path: str, cfg) -> Any:

@@ -16,12 +16,26 @@ def timeit(fn, *args, n=10):
     return (tn - t2) / n
 
 def main():
+    # args: [L=<len>] [bqxbk ...] — L=8208 is the production long-context
+    # length (8192 tokens + 16 registers); divisor-block fitting snaps
+    # requested sizes to divisors of L, so pass exact divisors when probing
+    global L
+    pick = []
+    for a in sys.argv[1:]:
+        if a.startswith("L="):
+            L = int(a.split("=", 1)[1])
+        else:
+            pick.append(a)
+    sys.argv[1:] = pick
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     qf = jax.random.normal(ks[0], (B, L, H * D), jnp.bfloat16)
     kf = jax.random.normal(ks[1], (B, L, H * D), jnp.bfloat16)
     vf = jax.random.normal(ks[2], (B, L, H * D), jnp.bfloat16)
     from video_diffusion_speedrun_tpu.models.rope import rope_cos_sin
-    cos, sin = rope_cos_sin(D, 8, 32, 32, jnp.zeros(3, jnp.int32), num_registers=0)
+    # token budget 8·32·32 = 8192; anything above is register rows (the
+    # production L=8208 = 8192 + 16 registers)
+    cos, sin = rope_cos_sin(D, 8, 32, 32, jnp.zeros(3, jnp.int32),
+                            num_registers=max(0, L - 8192))
     from video_diffusion_speedrun_tpu.ops.fused_attention import rope_flash_attention
     fwd_flops = 4 * B * H * L * L * D
     pick = sys.argv[1:]

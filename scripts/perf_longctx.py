@@ -28,6 +28,7 @@ MODEL = DiTConfig(
 )
 B, T, H, W, LC = 2, 16, 64, 64, 512
 MOMENTS = None
+INLOOP = False
 
 
 def main():
@@ -39,7 +40,10 @@ def main():
     # the O(L²) kernel); "b=<N>" overrides the batch; "moments=bf16"
     # stores Adam moments in bf16 (halves optimizer HBM — the lever that
     # lets the B=2 full step fit without remat on the current toolchain).
-    global MODEL, B, MOMENTS
+    # "inloop" runs the production optimizer-in-backward step (fused
+    # reverse-scan update + factored nu — the XL regime's optimizer) at
+    # this length; "pdtype=bf16" stores params bf16.
+    global MODEL, B, MOMENTS, INLOOP
     full_step = "full" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("remat="):
@@ -49,6 +53,11 @@ def main():
             B = int(a.split("=", 1)[1])
         elif a.startswith("moments="):
             MOMENTS = jnp.bfloat16
+        elif a == "inloop":
+            INLOOP = True
+            full_step = True
+        elif a.startswith("pdtype="):
+            MODEL = MODEL.replace(param_dtype=jnp.bfloat16)
     params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
     lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096), jnp.bfloat16)
@@ -97,7 +106,8 @@ def _measure_full_step(params, lat, ctx, rng, fl, peak, tokens):
     cfg = TrainConfig(
         model=MODEL, mesh=MeshConfig(replica=1, fsdp=1, tensor=1),
         optimizer=OptimizerConfig(learning_rate=2 ** -6,
-                                  moments_dtype=MOMENTS),
+                                  moments_dtype=MOMENTS,
+                                  in_backward=INLOOP, nu_factored=INLOOP),
         batch_size=B, max_steps=5004, seed=0,
     )
     mesh = build_mesh(cfg.mesh)
@@ -108,6 +118,10 @@ def _measure_full_step(params, lat, ctx, rng, fl, peak, tokens):
     def run_full(n, state):
         for _ in range(n):
             state, metrics = train_step(state, batch, rng)
+        # the param element read forces the optimizer chain (the loss
+        # depends on the forward only)
+        leaf = jax.tree.leaves(state.params)[0]
+        float(leaf[(0,) * leaf.ndim])
         return state, float(metrics["loss"])
 
     state, _ = run_full(3, state)

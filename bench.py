@@ -185,9 +185,14 @@ def main():
     # production odd-frame shape first (the real 17-frame 256px Cosmos row
     # is latent [16,5,32,32] — floor-crop path, round-2 VERDICT weak #5);
     # the canonical headline prints LAST so drivers parsing the final line
-    # keep the comparable metric
+    # keep the comparable metric. Per-chip batch 16 here: L=528 has low
+    # arithmetic intensity, so the dataset shape wants a bigger batch than
+    # the canonical L=1040 proxy (B=8 measured 49.1%, B=16 59.2%, B=24
+    # 62.0%; 248M params leave ample HBM) — B=16 is the production choice
+    # (global batch 128 on a v5e-8, same 8×16 the reference's 8-GPU node
+    # could not fit without grad_accum).
     print(json.dumps(measure(
-        canonical, "dit_train_tokens_per_sec_per_chip", 8, 5, 32, 32,
+        canonical, "dit_train_tokens_per_sec_per_chip", 16, 5, 32, 32,
         512, adamw)), flush=True)
     print(json.dumps(measure(
         canonical, "dit_train_tokens_per_sec_per_chip", 8, 8, 32, 32,

@@ -427,6 +427,11 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     if fuse_dq:
         dqp_spec = pl.BlockSpec((1, 1, block_q, d),
                                 lambda b, h, ki, qi: (ki, b, qi, h))
+        # partials stored in the INPUT dtype (bf16 on the production path):
+        # the nk×|dq| buffer is pure HBM traffic (written by the kernel,
+        # reduced outside in fp32) — at L=8208/nk=9 this halves ~600 MB of
+        # traffic per layer backward. dq is consumed in q.dtype anyway;
+        # fp32 inputs keep fp32 partials (the parity-test path).
         dk, dv, dqp = pl.pallas_call(
             functools.partial(dkv_kern, **common),
             grid=(b, h, nk, nq),
@@ -436,7 +441,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
             out_shape=(
                 jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
                 jax.ShapeDtypeStruct((b, lkp, hd), v.dtype),
-                jax.ShapeDtypeStruct((nk, b, lqp, hd), jnp.float32),
+                jax.ShapeDtypeStruct((nk, b, lqp, hd), q.dtype),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_k, d), jnp.float32),
@@ -448,7 +453,9 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
             ),
             interpret=interpret,
         )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, *kb)
-        dq = dqp.sum(axis=0).astype(q.dtype)
+        # reduce in fp32 regardless of storage dtype (one fused pass:
+        # bf16 reads, fp32 accumulate, bf16 write)
+        dq = dqp.sum(axis=0, dtype=jnp.float32).astype(q.dtype)
         return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
     dk, dv = pl.pallas_call(

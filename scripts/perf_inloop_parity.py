@@ -37,6 +37,11 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     depth = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    # default 2^-8: 2^-6 at width 1024 sits at the edge of stability, where
+    # trajectory chaos swamps optimizer-variant differences (measured: a
+    # 1e-6 param perturbation of the EXACT optimizer diverged 5x more than
+    # the factored variant there)
+    lr = float(sys.argv[4]) if len(sys.argv) > 4 else 2 ** -8
 
     # LC=128 keeps 32 resident batches at ~10 MB each (512-token contexts
     # OOM'd beside the 0.79B fp32 state); loss dynamics are unaffected —
@@ -105,11 +110,11 @@ def main():
         jax.clear_caches()
         return np.asarray(losses)
 
-    exact = OptimizerConfig(learning_rate=2 ** -6, scheduler="linear")
+    exact = OptimizerConfig(learning_rate=lr, scheduler="linear")
     exact_losses = run("exact", exact)
     eps_losses = run("exact-eps(1e-6)", exact, perturb=1e-6)
     inloop_losses = run("inloop", OptimizerConfig(
-        learning_rate=2 ** -6, scheduler="linear",
+        learning_rate=lr, scheduler="linear",
         moments_dtype=jnp.bfloat16, in_backward=True, nu_factored=True))
 
     def report(tag, losses):

@@ -254,7 +254,18 @@ class Trainer:
             self.state = self.state._replace(params=params)
             self.logger.info("loaded torch reference checkpoint from %s", path)
         else:
-            self.state = CheckpointManager(path).restore(None, self.state)
+            # restore from an ABSTRACT template and free the freshly-init'd
+            # state first: holding both would double state HBM during the
+            # restore — at 2.8B (params+moments ≈ 10.3 GB) that
+            # RESOURCE_EXHAUSTs the 15.75 GB chip (measured, round 4)
+            template = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=x.sharding)
+                if hasattr(x, "sharding") else x,
+                self.state,
+            )
+            self.state = None  # drop the only reference; buffers free now
+            self.state = CheckpointManager(path).restore(None, template)
             self.logger.info("restored full train state from %s", path)
 
     # ------------------------------------------------------------------ eval

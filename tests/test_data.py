@@ -461,6 +461,69 @@ class TestShapeBucketing:
             assert b["latent"].shape[2] in (2, 5)
 
 
+class TestLoaderSkip:
+    """skip_batches resume fast-forward: the stream from batch k on must be
+    EXACTLY what a continuous run emits after k batches — for both the
+    index-skip fast path (default collate, no reads for the skipped prefix)
+    and the load-and-discard path (stateful bucketing collates)."""
+
+    def test_default_collate_index_skip(self):
+        ds = SyntheticLatentDataset(num_rows=32, latent_shape=(4, 2, 8, 8))
+        sampler = ShardedSampler(32, 4, 0, 1, seed=0)
+        full = list(DataLoader(ds, sampler, num_epochs=2))
+        for k in (1, 7, 9):  # within epoch 0, at the boundary, into epoch 1
+            skipped = list(DataLoader(ds, sampler, num_epochs=2,
+                                      skip_batches=k))
+            assert len(skipped) == len(full) - k
+            for a, b in zip(full[k:], skipped):
+                np.testing.assert_array_equal(a["latent"], b["latent"])
+                assert a["caption"] == b["caption"]
+
+    def test_default_collate_skip_does_not_read(self):
+        reads = []
+
+        class CountingDataset:
+            def __len__(self):
+                return 32
+
+            def __getitem__(self, i):
+                reads.append(i)
+                return {"latent": np.zeros((4, 2, 8, 8), np.float32),
+                        "caption": str(i)}
+
+        sampler = ShardedSampler(32, 4, 0, 1, seed=0)
+        out = list(DataLoader(CountingDataset(), sampler, num_epochs=1,
+                              skip_batches=6))
+        assert len(out) == 2
+        assert len(reads) == 8  # only the 2 emitted batches were loaded
+
+    def test_bucketing_collate_load_and_discard(self):
+        from video_diffusion_speedrun_tpu.data.loader import (
+            ShapeBucketingCollate,
+        )
+
+        class VarLenDataset:
+            def __len__(self):
+                return 32
+
+            def __getitem__(self, i):
+                t = 2 if i % 2 == 0 else 5
+                return {"latent": np.full((4, t, 8, 8), float(i), np.float32),
+                        "caption": str(i)}
+
+        ds = VarLenDataset()
+        sampler = ShardedSampler(32, 4, 0, 1, seed=0)
+        full = list(DataLoader(ds, sampler, collate=ShapeBucketingCollate(4),
+                               num_epochs=2))
+        k = 3
+        skipped = list(DataLoader(ds, sampler,
+                                  collate=ShapeBucketingCollate(4),
+                                  num_epochs=2, skip_batches=k))
+        assert len(skipped) == len(full) - k
+        for a, b in zip(full[k:], skipped):
+            np.testing.assert_array_equal(a["latent"], b["latent"])
+
+
 class TestOddFrameLatents:
     """Real Cosmos latents have 1+4k (odd) frames; patchify floor-crops like
     a strided conv and the loss crops the target to match."""

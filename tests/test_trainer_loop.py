@@ -119,6 +119,39 @@ class TestTrainerLoop:
         assert np.isfinite(last2["train/total_loss"])
 
 
+class TestResumeDeterminism:
+    def test_resumed_run_bit_matches_continuous(self, tmp_path):
+        """checkpoint at step 6 + resume to 10 produces EXACTLY the params
+        of one continuous 10-step run: the restored step re-seeds the
+        per-step rng (fold_in) AND the loader fast-forwards the data stream
+        (skip_batches) — the reference can do neither (its resume restarts
+        the schedule and the data order, SURVEY.md quirk #8)."""
+        import jax
+
+        # constant scheduler: the linear decay slope depends on max_steps,
+        # so an interrupted run emulated via a smaller max_steps would
+        # legitimately take different steps — this test isolates data/rng
+        # alignment, which must be exact
+        opt = OptimizerConfig(learning_rate=0.01, scheduler="constant",
+                              warmup_steps=2)
+        cont = Trainer(_cfg(tmp_path, max_steps=10, run_name="cont",
+                            evaluate_every=100, optimizer=opt))
+        cont.train()
+
+        Trainer(_cfg(tmp_path, max_steps=6, run_name="resA", optimizer=opt,
+                     evaluate_every=5)).train()  # saves at 1 and 6
+        resumed = Trainer(_cfg(tmp_path, max_steps=10, run_name="resB",
+                               evaluate_every=100, optimizer=opt,
+                               load_checkpoint=str(tmp_path / "resA")))
+        assert int(resumed.state.step) == 6
+        resumed.train()
+
+        assert int(cont.state.step) == int(resumed.state.step) == 10
+        for a, b in zip(jax.tree.leaves(cont.state.params),
+                        jax.tree.leaves(resumed.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestVariableLengthTraining:
     def test_mixed_clip_lengths_train(self, tmp_path):
         """BASELINE configs[2]: variable-length clips via shape bucketing —

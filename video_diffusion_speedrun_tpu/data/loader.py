@@ -192,13 +192,21 @@ class DataLoader:
 
     def __init__(self, dataset, sampler: ShardedSampler,
                  collate: Callable = default_collate, num_workers: int = 4,
-                 prefetch: int = 2, num_epochs: Optional[int] = None):
+                 prefetch: int = 2, num_epochs: Optional[int] = None,
+                 skip_batches: int = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.collate = collate
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.num_epochs = num_epochs
+        # resume fast-forward: emit the stream a continuous run would emit
+        # from batch `skip_batches` on (the reference cannot — its resume
+        # restarts the data order, SURVEY.md quirk #8). With the stateless
+        # default collate (1 sampler batch -> 1 emitted batch) the skipped
+        # prefix costs NO dataset reads; stateful collates (shape
+        # bucketing) load-and-discard, which is always exact.
+        self.skip_batches = skip_batches
 
     def _epochs(self) -> Iterator[int]:
         e = 0
@@ -218,15 +226,23 @@ class DataLoader:
             try:
                 from concurrent.futures import ThreadPoolExecutor
 
+                index_skip = self.collate is default_collate
+                to_skip = self.skip_batches
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for e in self._epochs():
                         for batch_idx in self.sampler.epoch(e):
                             if stop.is_set():
                                 return
+                            if to_skip > 0 and index_skip:
+                                to_skip -= 1  # 1 index batch == 1 emitted
+                                continue
                             rows = list(pool.map(self.dataset.__getitem__,
                                                  batch_idx))
                             batch = self.collate(rows)
                             if batch is not None:
+                                if to_skip > 0:
+                                    to_skip -= 1
+                                    continue
                                 q.put(batch)
             except BaseException as exc:  # re-raised consumer-side
                 # swallow only genuine teardown races (consumer exited or

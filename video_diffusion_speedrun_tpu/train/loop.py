@@ -179,10 +179,17 @@ class Trainer:
                 )
             else:
                 collate = ShapeBucketingCollate(per_host)
+        # resume continues the data stream where a continuous run would be:
+        # skip exactly `restored step` train batches (row-derived context —
+        # precomputed embeddings / T5 captions — follows automatically; the
+        # smoke-mode host-rng synthetic context stream does not fast-forward,
+        # which only perturbs allow_random_context runs)
+        skip = int(self.state.step) if split == "train" else 0
         loader = DataLoader(
             ds, sampler, collate=collate,
             num_workers=dcfg.num_workers, prefetch=dcfg.prefetch,
             num_epochs=self.cfg.num_epochs if split == "train" else 1,
+            skip_batches=skip,
         )
         return device_prefetch(
             self._encode_stream(iter(loader)), self.mesh,

@@ -173,3 +173,31 @@ class TestInferenceRestore:
         np.testing.assert_array_equal(
             np.asarray(params["final_proj"]["weight"]),
             np.asarray(state.params["final_proj"]["weight"]))
+
+    def test_restore_from_in_backward_checkpoint(self, tmp_path):
+        """The XL user journey: the 2.8B one-chip regime trains with
+        optimizer_in_backward (InloopOptState with factored FNu leaves in
+        the checkpoint); sampling restores params from it WITHOUT knowing
+        which optimizer wrote the state (metadata-derived template)."""
+        import dataclasses
+
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            restore_params_for_inference,
+        )
+
+        cfg = dataclasses.replace(
+            TINY, optimizer=OptimizerConfig(
+                learning_rate=0.01, scheduler="constant", warmup_steps=2,
+                in_backward=True, nu_factored=True, nu_factored_min_size=1))
+        mesh = build_mesh(cfg.mesh)
+        init_fn, train_step, _, _ = build_train_step(cfg, mesh)
+        state = init_fn(jax.random.PRNGKey(0))
+        state, _ = train_step(state, _batch(), jax.random.PRNGKey(3))
+        mgr = CheckpointManager(str(tmp_path / "xl"))
+        mgr.save(int(state.step), state)
+        mgr.wait(); mgr.close()
+
+        params = restore_params_for_inference(str(tmp_path / "xl"))
+        for a, b in zip(jax.tree.leaves(params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

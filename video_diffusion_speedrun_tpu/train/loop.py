@@ -261,6 +261,13 @@ class Trainer:
             self.state = self.state._replace(params=params)
             self.logger.info("loaded torch reference checkpoint from %s", path)
         else:
+            # a specific step dir may be passed (".../run/120"): split it
+            # into (run root, step) like restore_params_for_inference
+            step = None
+            base = os.path.basename(os.path.normpath(path))
+            if base.isdigit():
+                step = int(base)
+                path = os.path.dirname(os.path.normpath(path))
             # restore from an ABSTRACT template and free the freshly-init'd
             # state first: holding both would double state HBM during the
             # restore — at 2.8B (params+moments ≈ 10.3 GB) that
@@ -272,8 +279,9 @@ class Trainer:
                 self.state,
             )
             self.state = None  # drop the only reference; buffers free now
-            self.state = CheckpointManager(path).restore(None, template)
-            self.logger.info("restored full train state from %s", path)
+            self.state = CheckpointManager(path).restore(step, template)
+            self.logger.info("restored full train state from %s step %s",
+                             path, "latest" if step is None else step)
 
     # ------------------------------------------------------------------ eval
 

@@ -68,8 +68,9 @@ def main():
         batch = {
             "latent": jax.random.normal(jax.random.PRNGKey(1),
                                         (B, C, T, H, W), jnp.bfloat16),
-            "context": jax.random.normal(jax.random.PRNGKey(2),
-                                         (B, LC, 4096), jnp.bfloat16),
+            "context": jax.random.normal(
+                jax.random.PRNGKey(2),
+                (B, LC, model.cross_attn_input_size), jnp.bfloat16),
         }
         rng = jax.random.PRNGKey(3)
 

@@ -122,7 +122,8 @@ def main(prompt, checkpoint, inference_steps, cfg_scale, height, width,
         )
 
         if is_orbax_checkpoint(checkpoint):
-            params = restore_params_for_inference(checkpoint)
+            # model_cfg validates tree structure + shapes at restore time
+            params = restore_params_for_inference(checkpoint, model_cfg)
         else:  # torch reference checkpoint (DCP dir or .pt)
             params = load_reference_checkpoint(checkpoint, model_cfg)
         if smoke_encoder:

@@ -99,7 +99,7 @@ def main():
         losses = []
         t0 = time.perf_counter()
         for k in range(n_steps):
-            state, m = train_step(state, batches[k % 8], base_rng)
+            state, m = train_step(state, batches[k % len(batches)], base_rng)
             losses.append(m["loss"])  # defer readback out of the hot loop
         losses = [float(x) for x in losses]
         print(f"{tag}: {n_steps} steps in {time.perf_counter()-t0:.1f}s  "

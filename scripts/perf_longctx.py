@@ -57,7 +57,11 @@ def main():
             INLOOP = True
             full_step = True
         elif a.startswith("pdtype="):
-            MODEL = MODEL.replace(param_dtype=jnp.bfloat16)
+            val = a.split("=", 1)[1]
+            if val not in ("fp32", "bf16"):
+                raise SystemExit(f"pdtype must be fp32|bf16, got {val!r}")
+            if val == "bf16":
+                MODEL = MODEL.replace(param_dtype=jnp.bfloat16)
     params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
     lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096), jnp.bfloat16)

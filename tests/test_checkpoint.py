@@ -174,6 +174,48 @@ class TestInferenceRestore:
             np.asarray(params["final_proj"]["weight"]),
             np.asarray(state.params["final_proj"]["weight"]))
 
+    def test_digit_run_name_not_misparsed_as_step_dir(self, tmp_path):
+        """An all-digit run name (e.g. --run_name 20260819) must resolve as
+        a run ROOT, not a step dir — code-review finding, round 4."""
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            restore_params_for_inference, split_checkpoint_path,
+        )
+
+        mesh = build_mesh(TINY.mesh)
+        init_fn, train_step, _, _ = build_train_step(TINY, mesh)
+        state = init_fn(jax.random.PRNGKey(0))
+        state, _ = train_step(state, _batch(), jax.random.PRNGKey(3))
+        run = tmp_path / "20260819"
+        mgr = CheckpointManager(str(run))
+        mgr.save(int(state.step), state)
+        mgr.wait(); mgr.close()
+
+        assert split_checkpoint_path(str(run)) == (str(run), None)
+        assert split_checkpoint_path(str(run / "1")) == (str(run), 1)
+        params = restore_params_for_inference(str(run), TINY)
+        np.testing.assert_array_equal(
+            np.asarray(params["final_proj"]["weight"]),
+            np.asarray(state.params["final_proj"]["weight"]))
+
+    def test_restore_validates_model_config(self, tmp_path):
+        """A mismatched --model_width fails loudly AT RESTORE TIME."""
+        import dataclasses
+
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            restore_params_for_inference,
+        )
+
+        mesh = build_mesh(TINY.mesh)
+        init_fn, train_step, _, _ = build_train_step(TINY, mesh)
+        state = init_fn(jax.random.PRNGKey(0))
+        mgr = CheckpointManager(str(tmp_path / "run"))
+        mgr.save(0, state)
+        mgr.wait(); mgr.close()
+
+        wrong = dataclasses.replace(TINY_MODEL, hidden_size=128)
+        with pytest.raises(ValueError, match="model config"):
+            restore_params_for_inference(str(tmp_path / "run"), wrong)
+
     def test_restore_from_in_backward_checkpoint(self, tmp_path):
         """The XL user journey: the 2.8B one-chip regime trains with
         optimizer_in_backward (InloopOptState with factored FNu leaves in

@@ -23,11 +23,22 @@ import numpy as np
 def _manager(directory: str, max_to_keep: Optional[int] = None):
     import orbax.checkpoint as ocp
 
+    # an explicit registry (a) lets a FRESH manager serve item_metadata —
+    # without it orbax returns None until a typed save/restore has run in
+    # this process — and (b) admits BOTH StandardSave/Restore (full state)
+    # and PyTreeRestore (the params-only partial restore below)
+    registry = ocp.handlers.DefaultCheckpointHandlerRegistry()
+    std = ocp.StandardCheckpointHandler()
+    registry.add("default", ocp.args.StandardSave, std)
+    registry.add("default", ocp.args.StandardRestore, std)
+    registry.add("default", ocp.args.PyTreeRestore,
+                 ocp.PyTreeCheckpointHandler())
     return ocp.CheckpointManager(
         os.path.abspath(directory),
         options=ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
         ),
+        handler_registry=registry,
     )
 
 
@@ -66,12 +77,35 @@ class CheckpointManager:
 
         step = self.latest_step() if step is None else step
         meta = self._mgr.item_metadata(step)
+        tree = meta.tree if hasattr(meta, "tree") else meta
         abstract = jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype)
             if hasattr(m, "shape") else m,
-            meta,
+            tree,
         )
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def restore_params_from_metadata(self, step: Optional[int]) -> Any:
+        """Params-ONLY metadata restore: the optimizer moments never touch
+        HBM/host memory. At 2.8B a full-state restore materializes ~10.3 GB
+        (params + moments) just to pick out 5.15 GB of params — alongside
+        the T5 encoder and decoder that RESOURCE_EXHAUSTs a sampling
+        process (the same doubling measured on the Trainer resume path)."""
+        import orbax.checkpoint as ocp
+
+        step = self.latest_step() if step is None else step
+        meta = self._mgr.item_metadata(step)
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        meta_params = tree["params"]
+        partial = {"params": jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype)
+            if hasattr(m, "shape") else m,
+            meta_params,
+        )}
+        restore_args = jax.tree.map(lambda _: ocp.RestoreArgs(), partial)
+        out = self._mgr.restore(step, args=ocp.args.PyTreeRestore(
+            item=partial, transforms={}, restore_args=restore_args))
+        return out["params"]
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -111,25 +145,78 @@ def is_torch_reference_checkpoint(path: str) -> bool:
     return "temp.pt" in entries or any(e.endswith(".distcp") for e in entries)
 
 
-def restore_params_for_inference(path: str, train_cfg=None) -> Any:
+def split_checkpoint_path(path: str) -> "tuple[str, Optional[int]]":
+    """Resolve a user-supplied checkpoint path to (run root, step).
+
+    A path CONTAINING digit subdirs is a run root even if its own basename
+    is all digits (e.g. --run_name 20260819) — otherwise an all-digit run
+    name would misparse as a step dir and restore some other run's step
+    from the parent directory (code-review finding, round 4). A path whose
+    basename is digits and which does NOT contain digit subdirs is a step
+    dir (".../run/120")."""
+    path = os.path.normpath(path)
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        entries = []
+    has_step_subdirs = any(
+        e.isdigit() and os.path.isdir(os.path.join(path, e)) for e in entries
+    )
+    base = os.path.basename(path)
+    if base.isdigit() and not has_step_subdirs:
+        return os.path.dirname(path), int(base)
+    return path, None
+
+
+def restore_params_for_inference(path: str, model_cfg=None) -> Any:
     """Restore only the model params from a full-TrainState orbax checkpoint
-    (for sampling: the optimizer state is not needed). The restore template
-    comes from the checkpoint's own metadata, so ANY optimizer variant's
-    state restores (standard AdamW, bf16 moments, optimizer-in-backward
-    with factored nu); `train_cfg` is unused and kept for API stability."""
-    del train_cfg
+    (for sampling: the optimizer state is never materialized). The restore
+    template comes from the checkpoint's own metadata, so ANY optimizer
+    variant's state restores (standard AdamW, bf16 moments,
+    optimizer-in-backward with factored nu).
 
-    step = None
-    base = os.path.basename(os.path.normpath(path))
-    if base.isdigit():  # a specific step dir was passed; use its run root
-        step = int(base)
-        path = os.path.dirname(os.path.normpath(path))
+    `model_cfg` (a DiTConfig, or anything with a `.model` DiTConfig
+    attribute) is optional: when given, the checkpoint's param tree
+    structure and leaf shapes are validated against it so a mismatched
+    --model_width/--model_head_dim fails HERE with a clear error instead of
+    deep inside the DiT forward (or, worse, silently for shape-coincident
+    head configs)."""
+    import jax
 
+    path, step = split_checkpoint_path(path)
     mgr = CheckpointManager(path)
-    state = mgr.restore_from_metadata(step)
+    params = mgr.restore_params_from_metadata(step)
     mgr.close()
-    # custom pytree nodes (TrainState) come back as plain dicts
-    return state["params"] if isinstance(state, dict) else state.params
+
+    if model_cfg is not None:
+        from video_diffusion_speedrun_tpu.models.dit import init_dit
+
+        cfg = getattr(model_cfg, "model", model_cfg)
+        expected = jax.eval_shape(
+            lambda: init_dit(jax.random.PRNGKey(0), cfg))
+        exp_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                     jax.tree_util.tree_flatten_with_path(expected)[0]}
+        got_paths = {jax.tree_util.keystr(k): tuple(v.shape) for k, v in
+                     jax.tree_util.tree_flatten_with_path(params)[0]}
+        if exp_paths.keys() != got_paths.keys():
+            missing = sorted(exp_paths.keys() - got_paths.keys())[:5]
+            extra = sorted(got_paths.keys() - exp_paths.keys())[:5]
+            raise ValueError(
+                f"checkpoint param tree does not match the model config "
+                f"(missing: {missing}, unexpected: {extra}) — check "
+                f"--model_width/--model_depth/--model_head_dim"
+            )
+        bad = {k: (got_paths[k], tuple(exp_paths[k]))
+               for k in exp_paths if tuple(exp_paths[k]) != got_paths[k]}
+        if bad:
+            k, (got, exp) = next(iter(bad.items()))
+            raise ValueError(
+                f"checkpoint param shapes do not match the model config "
+                f"({len(bad)} leaves differ; e.g. {k}: checkpoint {got} vs "
+                f"model {exp}) — check --model_width/--model_depth/"
+                f"--model_head_dim"
+            )
+    return params
 
 
 def load_reference_checkpoint(path: str, cfg) -> Any:

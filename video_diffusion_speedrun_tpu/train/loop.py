@@ -261,13 +261,13 @@ class Trainer:
             self.state = self.state._replace(params=params)
             self.logger.info("loaded torch reference checkpoint from %s", path)
         else:
-            # a specific step dir may be passed (".../run/120"): split it
-            # into (run root, step) like restore_params_for_inference
-            step = None
-            base = os.path.basename(os.path.normpath(path))
-            if base.isdigit():
-                step = int(base)
-                path = os.path.dirname(os.path.normpath(path))
+            # a specific step dir may be passed (".../run/120"); digit-named
+            # run roots are handled (split_checkpoint_path)
+            from video_diffusion_speedrun_tpu.train.checkpoint import (
+                split_checkpoint_path,
+            )
+
+            path, step = split_checkpoint_path(path)
             # restore from an ABSTRACT template and free the freshly-init'd
             # state first: holding both would double state HBM during the
             # restore — at 2.8B (params+moments ≈ 10.3 GB) that

@@ -12,10 +12,13 @@ final line).
 Opt-in modes (round-3 VERDICT next #5 — make the north-star numbers
 driver-verifiable through ONE harness instead of PERFORMANCE.md prose):
 
-  python bench.py --xl       # DiT-XL 2.8B FULL step on one chip via the
-                             # production optimizer-in-backward path
-                             # (--optimizer_in_backward in train.py)
-  python bench.py --longctx  # L=8208 full step (latent [16,16,64,64])
+  python bench.py --xl        # DiT-XL 2.8B FULL step on one chip via the
+                              # production optimizer-in-backward path
+                              # (--optimizer_in_backward in train.py)
+  python bench.py --longctx   # L=8208 full step (latent [16,16,64,64])
+  python bench.py --sampling  # demo-config end-to-end sampling: 2.76B
+                              # DiT, 50 Euler steps fused-2B CFG, 512x512,
+                              # 61 frames + chunked causal Cosmos decode
 
 All modes run the SAME production `build_train_step` the Trainer/CLI use
 and emit the same JSON schema:
@@ -183,6 +186,10 @@ def main():
             config_extra="_bf16moments")), flush=True)
         return
 
+    if "--sampling" in sys.argv[1:]:
+        _sampling_bench(device_kind, n_dev)
+        return
+
     # production odd-frame shape first (the real 17-frame 256px Cosmos row
     # is latent [16,5,32,32] — floor-crop path, round-2 VERDICT weak #5);
     # the canonical headline prints LAST so drivers parsing the final line
@@ -198,6 +205,75 @@ def main():
     print(json.dumps(measure(
         canonical, "dit_train_tokens_per_sec_per_chip", 8, 8, 32, 32,
         512, adamw)), flush=True)
+
+
+def _sampling_bench(device_kind, n_dev):
+    """End-to-end demo-config sampling (BASELINE.md row 3) as one JSON line:
+    2.76B DiT (sampling/sample.py:42-53 analog), 50 Euler steps with the
+    fused 2-batch CFG forward, 512×512 × 16 latent frames → 61 output
+    frames, then the chunked causal Cosmos decode (random weights — timing
+    only). The reference publishes no sampling rate (BASELINE.md), so
+    vs_baseline is frames/s over this repo's own round-1 figure
+    (1.33 f/s, PERFORMANCE.md end-to-end table)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_diffusion_speedrun_tpu.core.config import (
+        DiTConfig, SamplingConfig,
+    )
+    from video_diffusion_speedrun_tpu.models.cosmos_vae import (
+        CosmosDecoderConfig, decode_video, init_cosmos_decoder,
+    )
+    from video_diffusion_speedrun_tpu.models.dit import init_dit
+    from video_diffusion_speedrun_tpu.sampling.euler import (
+        euler_cfg_sample, initial_latents,
+    )
+
+    steps, frames = 50, 16
+    model_cfg = DiTConfig(
+        in_channels=16, patch_size=2, time_patch_size=2, hidden_size=2048,
+        depth=24, num_heads=16, cross_attn_input_size=4096,
+        residual_v=True, train_bias_and_rms=False,
+        scan_blocks=True, remat=False,
+    )
+    scfg = SamplingConfig(inference_steps=steps, cfg_scale=6.0, height=512,
+                          width=512, num_latent_frames=frames, seed=42)
+    params = jax.jit(
+        lambda k: init_dit(k, model_cfg, 0.1, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    context = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
+                                jnp.bfloat16) * 0.05
+    latents0 = initial_latents(jax.random.PRNGKey(2), scfg)
+    dec_cfg = CosmosDecoderConfig()
+    dec = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                       init_cosmos_decoder(jax.random.PRNGKey(3), dec_cfg))
+
+    def run():
+        lat = euler_cfg_sample(params, model_cfg, latents0, context,
+                               num_steps=steps, cfg_scale=6.0)
+        out = decode_video(dec, dec_cfg, lat.astype(jnp.bfloat16),
+                           chunk_frames=2, context_frames=2)
+        return float(out.ravel()[0].astype(jnp.float32))
+
+    run()  # compile + warm (sampler and decoder programs)
+    t0 = time.perf_counter(); run()
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(); run()
+    t2 = time.perf_counter() - t0
+    dt = t2 - t1  # single run net of fixed dispatch
+    n_frames = 4 * (frames - 1) + 1
+    print(json.dumps({
+        "metric": "demo_sampling_frames_per_sec",
+        "value": round(n_frames / dt, 3),
+        "unit": "output_frames/s",
+        "vs_baseline": round(n_frames / dt / 1.33, 4),
+        "end_to_end_s": round(dt, 2),
+        "device_kind": device_kind,
+        "n_devices": n_dev,
+        "config": "width2048_depth24_cfg6_steps50_512x512_61frames_decode",
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -152,6 +152,33 @@ class TestResumeDeterminism:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestEncodeStreamResume:
+    def test_synthetic_context_is_batch_index_seeded(self, tmp_path):
+        """The smoke-mode synthetic context must depend only on (seed,
+        global batch index) so a resumed stream attaches the same context
+        a continuous run did at the same index."""
+        import types
+
+        cfg = _cfg(tmp_path, data=DataConfig(
+            dataset="cosmos_openvid", caption_tokens=6, context_dim=32,
+            allow_random_context=True))
+        stub = types.SimpleNamespace(
+            cfg=cfg, prompt_encoder=None, device_context=False,
+            logger=__import__("logging").getLogger("t"))
+
+        def batches(n, start):
+            return [{"latent": np.full((4, 16, 4, 16, 16), float(start + i),
+                                       np.float32)} for i in range(n)]
+
+        enc = Trainer._encode_stream
+        cont = list(enc(stub, iter(batches(5, 0)), start_index=0))
+        resumed = list(enc(stub, iter(batches(2, 3)), start_index=3))
+        for a, b in zip(cont[3:], resumed):
+            np.testing.assert_array_equal(a["context"], b["context"])
+        # distinct indices draw distinct contexts
+        assert not np.array_equal(cont[0]["context"], cont[1]["context"])
+
+
 class TestVariableLengthTraining:
     def test_mixed_clip_lengths_train(self, tmp_path):
         """BASELINE configs[2]: variable-length clips via shape bucketing —

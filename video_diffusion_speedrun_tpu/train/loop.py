@@ -180,10 +180,10 @@ class Trainer:
             else:
                 collate = ShapeBucketingCollate(per_host)
         # resume continues the data stream where a continuous run would be:
-        # skip exactly `restored step` train batches (row-derived context —
-        # precomputed embeddings / T5 captions — follows automatically; the
-        # smoke-mode host-rng synthetic context stream does not fast-forward,
-        # which only perturbs allow_random_context runs)
+        # skip exactly `restored step` train batches. Row-derived context
+        # (precomputed embeddings / T5 captions) follows automatically; the
+        # smoke-mode synthetic context is per-batch-index seeded, so it
+        # follows too (_encode_stream start_index)
         skip = int(self.state.step) if split == "train" else 0
         loader = DataLoader(
             ds, sampler, collate=collate,
@@ -192,16 +192,23 @@ class Trainer:
             skip_batches=skip,
         )
         return device_prefetch(
-            self._encode_stream(iter(loader)), self.mesh,
+            self._encode_stream(iter(loader), start_index=skip), self.mesh,
             depth=dcfg.prefetch,
         )
 
-    def _encode_stream(self, batches: Iterator[Dict]) -> Iterator[Dict]:
-        """Attach `context`: precomputed > T5-encoded captions > synthetic."""
+    def _encode_stream(self, batches: Iterator[Dict],
+                       start_index: int = 0) -> Iterator[Dict]:
+        """Attach `context`: precomputed > T5-encoded captions > synthetic.
+
+        `start_index` is the global batch index of the first incoming batch
+        (the loader's skip_batches on resume): the smoke-mode synthetic
+        context is seeded per (seed, batch index), not drawn from a stream,
+        so a resumed run attaches the SAME context a continuous run would —
+        keeping the bit-exact-resume guarantee unconditional."""
         dcfg = self.cfg.data
-        rng = np.random.default_rng(self.cfg.seed + 17)
         warned = False
-        for batch in batches:
+        for index, batch in enumerate(batches, start=start_index):
+            rng = np.random.default_rng((self.cfg.seed + 17, index))
             if "context" not in batch:
                 if self.prompt_encoder is not None:
                     emb = self.prompt_encoder(

@@ -3,6 +3,9 @@ import sys, time
 sys.path.insert(0, ".")
 import jax, jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 B, H, L, D = 2, 4, 8192, 128
 
 def timeit(fn, *args, n=10):

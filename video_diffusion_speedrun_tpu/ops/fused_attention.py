@@ -584,6 +584,11 @@ def _forward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, use_rope):
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
+    # 16-aligned pad-free kv. A 128-multiple padded+masked kv looked 2.8×
+    # faster in an isolated micro-probe (scripts/perf_shortpath.py) but the
+    # reading was dispatch-pipelining noise (197 TF/s = chip peak); the
+    # long-window canonical/odd-frame full steps measured pad-free faster
+    # (85.53 vs 86.08 ms, 92.0 vs 93.57 ms) — measured-and-rejected.
     lkp = _cdiv(lk, _ALIGN) * _ALIGN
     block_q = _short_block_q(lq, lkp, False, d)
     dh = d // 2
@@ -642,13 +647,14 @@ def _forward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h, scale,
     hd = hd3 // 3
     d = hd // h
     lk = lq
-    lkp = _cdiv(lk, _ALIGN) * _ALIGN
+    lkp = _cdiv(lk, _ALIGN) * _ALIGN  # pad-free: see _forward_short comment
     block_q = _short_block_q(lq, lkp, False, d)
     dh = d // 2
 
     lqp = _cdiv(lq, block_q) * block_q
-    assert lqp >= lkp  # 16-aligned ceilings: q rows cover the k window
     qkvp = _pad_dim(qkv, 1, block_q)
+    if lqp < lkp:  # k window read from qkvp must cover lkp rows
+        qkvp = _pad_dim(qkvp, 1, lkp)
     vp = _pad_dim(v, 1, lkp)
     cqp, sqp, ckp, skp, tq, tk = _rope_dummies(
         lqp, lkp, dh, use_rope, cos_q, sin_q, cos_k, sin_k)
@@ -703,8 +709,9 @@ def _backward_short_qkv(qkv, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
     dh = d // 2
 
     lqp = _cdiv(lq, block_q) * block_q
-    assert lqp >= lkp
     qkvp = _pad_dim(qkv, 1, block_q)
+    if lqp < lkp:  # k window read from qkvp must cover lkp rows
+        qkvp = _pad_dim(qkvp, 1, lkp)
     vp = _pad_dim(v, 1, lkp)
     dop = _pad_dim(do, 1, block_q)
     op = _pad_dim(o, 1, block_q)

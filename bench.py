@@ -257,11 +257,19 @@ def _sampling_bench(device_kind, n_dev):
                            chunk_frames=2, context_frames=2)
         return float(out.ravel()[0].astype(jnp.float32))
 
+    def _timed(fn, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return time.perf_counter() - t0
+
     run()  # compile + warm (sampler and decoder programs)
-    t0 = time.perf_counter(); run()
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(); run()
-    t2 = time.perf_counter() - t0
+    # min-over-trials per window like measure(): a single host hiccup in
+    # either window would skew (or even sign-flip) the difference
+    # (code-review finding, round 4). Two trials per window — each run is
+    # ~40 s of device time, and min-of-2 already discards one-sided jitter.
+    t1 = min(_timed(run, 1) for _ in range(2))
+    t2 = min(_timed(run, 2) for _ in range(2))
     dt = t2 - t1  # single run net of fixed dispatch
     n_frames = 4 * (frames - 1) + 1
     print(json.dumps({

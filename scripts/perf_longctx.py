@@ -62,7 +62,11 @@ def main():
                 raise SystemExit(f"pdtype must be fp32|bf16, got {val!r}")
             if val == "bf16":
                 MODEL = MODEL.replace(param_dtype=jnp.bfloat16)
-    params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1)
+    # dtype= must be passed explicitly: init_dit ignores cfg.param_dtype,
+    # so without it a pdtype=bf16 probe run would silently measure fp32
+    # params (code-review finding, round 4)
+    params = init_dit(jax.random.PRNGKey(0), MODEL, 0.1,
+                      dtype=MODEL.param_dtype)
     lat = jax.random.normal(jax.random.PRNGKey(1), (B, 16, T, H, W), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (B, LC, 4096), jnp.bfloat16)
     rng = jax.random.PRNGKey(3)

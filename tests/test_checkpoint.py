@@ -197,6 +197,25 @@ class TestInferenceRestore:
             np.asarray(params["final_proj"]["weight"]),
             np.asarray(state.params["final_proj"]["weight"]))
 
+    def test_digit_run_root_without_checkpoints(self, tmp_path):
+        """An EXISTING all-digit run root with no step dirs yet (fresh run,
+        or mid first async save) is a run root — it must not misparse as a
+        step dir of the parent (round-4 follow-up finding). A NONEXISTENT
+        digit path keeps the step-dir reading."""
+        from video_diffusion_speedrun_tpu.train.checkpoint import (
+            split_checkpoint_path,
+        )
+
+        run = tmp_path / "20260819"
+        run.mkdir()
+        assert split_checkpoint_path(str(run)) == (str(run), None)
+        # in-flight async save: orbax tmp dirs are not pure digits
+        (run / "1.orbax-checkpoint-tmp-0").mkdir()
+        assert split_checkpoint_path(str(run)) == (str(run), None)
+        # nonexistent digit path: nothing to inspect -> step dir
+        gone = tmp_path / "run" / "120"
+        assert split_checkpoint_path(str(gone)) == (str(gone.parent), 120)
+
     def test_restore_validates_model_config(self, tmp_path):
         """A mismatched --model_width fails loudly AT RESTORE TIME."""
         import dataclasses

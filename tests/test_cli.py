@@ -63,6 +63,17 @@ class TestTrainCLI:
         assert r.exit_code != 0
         assert "unknown optimizer type" in str(r.output) + str(r.exception)
 
+    def test_bf16_params_require_in_backward_optimizer(self):
+        """--param_dtype bf16 with the standard optimizer would make bf16
+        the Adam MASTER weights (small updates round away) — rejected
+        loudly (code-review finding, round 4)."""
+        mod = _load_cli("train")
+        r = CliRunner().invoke(mod.main, [
+            "--param_dtype", "bf16", "--max_steps", "1",
+        ])
+        assert r.exit_code != 0
+        assert "optimizer_in_backward" in str(r.output) + str(r.exception)
+
 
 class TestSampleCLI:
     def test_random_weights_smoke(self, tmp_path):

@@ -143,6 +143,19 @@ def main(num_epochs, batch_size, learning_rate, max_steps, evaluate_every,
          context_dim, checkpoint_dir, moments_dtype, platform):
     if optimizer_type != "mup_adam":
         raise click.BadParameter(f"unknown optimizer type: {optimizer_type}")
+    if param_dtype == "bf16" and not optimizer_in_backward:
+        # With the standard optimizer, bf16 params would also be the Adam
+        # MASTER weights (and, when --moments_dtype is unset, the moment
+        # storage): updates below a bf16 ulp of the weight silently vanish.
+        # bf16 param storage is the XL one-chip enabler and only the
+        # in-backward step pairs it with fp32-math updates; FSDP pods keep
+        # fp32 masters like the reference MixedPrecisionPolicy
+        # (/root/reference/train.py:323-325).
+        raise click.BadParameter(
+            "--param_dtype bf16 requires --optimizer_in_backward true "
+            "(bf16 masters under the standard optimizer silently round "
+            "away small updates; use --moments_dtype bf16 to halve "
+            "optimizer HBM instead)")
     if platform is not None:
         import jax
 

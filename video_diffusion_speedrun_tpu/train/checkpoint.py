@@ -151,10 +151,16 @@ def split_checkpoint_path(path: str) -> "tuple[str, Optional[int]]":
     A path CONTAINING digit subdirs is a run root even if its own basename
     is all digits (e.g. --run_name 20260819) — otherwise an all-digit run
     name would misparse as a step dir and restore some other run's step
-    from the parent directory (code-review finding, round 4). A path whose
-    basename is digits and which does NOT contain digit subdirs is a step
-    dir (".../run/120")."""
+    from the parent directory (code-review finding, round 4). An EXISTING
+    digit-basename dir is a step dir only when it actually holds orbax
+    step metadata — an all-digit run root that exists but has no
+    checkpoints yet (fresh run, or mid first async save) is a run root, so
+    the restore fails with orbax's clear "no checkpoints" error instead of
+    hunting a bogus step in the parent dir (round-4 follow-up finding). A
+    NONEXISTENT digit path keeps the step-dir reading (nothing to
+    inspect)."""
     path = os.path.normpath(path)
+    exists = os.path.isdir(path)
     try:
         entries = os.listdir(path)
     except OSError:
@@ -162,8 +168,12 @@ def split_checkpoint_path(path: str) -> "tuple[str, Optional[int]]":
     has_step_subdirs = any(
         e.isdigit() and os.path.isdir(os.path.join(path, e)) for e in entries
     )
+    has_step_metadata = any(
+        e.startswith("_CHECKPOINT") or e == "state" for e in entries
+    )
     base = os.path.basename(path)
-    if base.isdigit() and not has_step_subdirs:
+    if base.isdigit() and not has_step_subdirs and (
+            has_step_metadata or not exists):
         return os.path.dirname(path), int(base)
     return path, None
 

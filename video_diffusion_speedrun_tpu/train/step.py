@@ -223,7 +223,6 @@ def _build_inloop_branch(cfg: TrainConfig, mesh: Mesh, make_params,
     like the standard step. The regime this enables — a 2.8B FULL train
     step on one 16 GB chip — is the north-star XL config
     (PERFORMANCE.md "XL FULL step")."""
-    from video_diffusion_speedrun_tpu.parallel.fsdp import param_shardings
     from video_diffusion_speedrun_tpu.train.inloop import (
         InloopOptState,
         build_inloop_step,

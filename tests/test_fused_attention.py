@@ -590,3 +590,116 @@ class TestLongPathBackward:
         )(params, x, ctx, ts)
         np.testing.assert_allclose(np.asarray(cp), np.asarray(plain),
                                    atol=1e-4, rtol=1e-3)
+
+
+class TestSplitPrefixPath:
+    """The split-prefix long path: L = thin prefix + block-divisible bulk
+    (the production 8208 = 16 registers + 8192 tokens) runs the bulk×bulk
+    quadrant at full blocks plus thin merged slices — exact decomposition,
+    checked fwd + grads against the unfused reference."""
+
+    def _setup_l(self, l, seed=7):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(ks[0], (1, l, H * D), jnp.float32)
+        k = jax.random.normal(ks[1], (1, l, H * D), jnp.float32)
+        v = jax.random.normal(ks[2], (1, l, H * D), jnp.float32)
+        cos, sin = rope_cos_sin(D, 10, 8, 8, jnp.zeros(3, jnp.int32))
+        return q, k, v, cos[:l], sin[:l]
+
+    def test_dispatch_rules(self):
+        from video_diffusion_speedrun_tpu.ops.fused_attention import (
+            DEFAULT_BLOCK_Q, _split_prefix,
+        )
+
+        assert _split_prefix(8208, 8208, DEFAULT_BLOCK_Q) == 16  # production
+        assert _split_prefix(2064, 2064, DEFAULT_BLOCK_Q) == 16  # 2-block bulk
+        assert _split_prefix(8192, 8192, DEFAULT_BLOCK_Q) == 0   # divisible
+        assert _split_prefix(8208, 512, DEFAULT_BLOCK_Q) == 0    # cross-attn
+        assert _split_prefix(1040, 1040, DEFAULT_BLOCK_Q) == 0   # bulk < 2 blk
+        assert _split_prefix(8200, 8200, DEFAULT_BLOCK_Q) == 0   # 8 % 16 != 0
+
+    def _check(self, l, n_pfx, block, seed=7):
+        from video_diffusion_speedrun_tpu.ops.fused_attention import (
+            _split_rope_flash,
+        )
+
+        q, k, v, cos, sin = self._setup_l(l, seed)
+        scale = D ** -0.5
+
+        def loss_split(q, k, v):
+            return jnp.sum(_split_rope_flash(
+                q, k, v, cos, sin, cos, sin, H, scale, n_pfx, block) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_reference(q, k, v, cos, sin) ** 2)
+
+        o = _split_rope_flash(q, k, v, cos, sin, cos, sin, H, scale, n_pfx,
+                              block)
+        np.testing.assert_allclose(np.asarray(o),
+                                   np.asarray(_reference(q, k, v, cos, sin)),
+                                   atol=2e-5, rtol=1e-4)
+        gf = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"d{name}")
+
+    def test_production_miniature(self):
+        # 144 = 16 + 2×64: the 8208 = 16 + 8×1024 case in miniature
+        self._check(l=144, n_pfx=16, block=64)
+
+    def test_wide_prefix_multiblock_bulk(self):
+        # 240 = 48 + 3×64: prefix wider than one lane group, odd bulk count
+        self._check(l=240, n_pfx=48, block=64, seed=11)
+
+    def test_auto_dispatch_routes_through_split(self):
+        """rope_flash_attention with no explicit blocks must take the split
+        path at thin-remainder L (patched ceilings put 144 in that regime)
+        and still match the reference."""
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        q, k, v, cos, sin = self._setup_l(144, seed=3)
+        called = {}
+        orig = fa._split_fwd
+
+        def spy(*a, **kw):
+            called["split"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(fa, "SHORT_MAX_KV", 0), \
+                mock.patch.object(fa, "DEFAULT_BLOCK_Q", 64), \
+                mock.patch.object(fa, "DEFAULT_BLOCK_K", 64), \
+                mock.patch.object(fa, "_split_fwd", spy):
+            got = fa.rope_flash_attention(q, k, v, cos, sin, H)
+        assert called.get("split")
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(_reference(q, k, v, cos, sin)),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_norope_auto_dispatch_split(self):
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(ks[0], (1, 144, H * D), jnp.float32)
+        k = jax.random.normal(ks[1], (1, 144, H * D), jnp.float32)
+        v = jax.random.normal(ks[2], (1, 144, H * D), jnp.float32)
+
+        def ref(q, k, v):
+            b, l, hd = q.shape
+            d = hd // H
+            qh, kh, vh = (t.reshape(b, -1, H, d).transpose(0, 2, 1, 3)
+                          for t in (q, k, v))
+            return dot_product_attention(qh, kh, vh).transpose(
+                0, 2, 1, 3).reshape(b, l, hd)
+
+        with mock.patch.object(fa, "SHORT_MAX_KV", 0), \
+                mock.patch.object(fa, "DEFAULT_BLOCK_Q", 64), \
+                mock.patch.object(fa, "DEFAULT_BLOCK_K", 64):
+            got = fa.norope_flash_attention(q, k, v, H)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref(q, k, v)),
+                                   atol=2e-5, rtol=1e-4)

@@ -1191,6 +1191,117 @@ _ring_attention.defvjp(_ring_attention_vjp_fwd, _ring_attention_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# split-prefix long path
+#
+# Video sequences are L = n_registers + tokens (e.g. 8208 = 16 + 8192,
+# `model.py:316,362`): L itself rarely has a good 16-aligned divisor
+# (8208 = 2⁴·3³·19 → 912-row blocks), but stripping the thin prefix leaves a
+# bulk that tiles at the optimal (1024, 1024) blocks. 912-row blocks waste
+# ceil(912/128)/7.125 = 12.3% of the MXU on BOTH matmul dims (measured:
+# ~47% of peak vs 58.8% at 1024² — PERFORMANCE.md L=8208 ceiling entry), so
+# the exact decomposition below runs the bulk×bulk quadrant at full blocks
+# and covers the two thin slices (prefix rows / prefix columns) with cheap
+# extra kernel calls, merged by the same online-softmax identity the ring
+# path uses. The backward passes the MERGED o/lse into each quadrant's
+# `_backward`, which then yields the exact partial gradients (p is
+# recomputed in-kernel as exp2(s − lse_global); delta comes from the merged
+# o·do) — the same global-lse chunk math as `_ring_attention_vjp_bwd`.
+# ---------------------------------------------------------------------------
+
+_SPLIT_MAX_PFX = 768  # engage only for thin remainders (r = L mod block)
+
+
+def _split_prefix(lq: int, lk: int, block: int) -> int:
+    """Prefix width r > 0 ⟺ the split-prefix path engages: self-attention
+    (lq == lk), a 16-aligned thin remainder, and a bulk of ≥ 2 full blocks
+    (below that the divisor path's blocks are fine)."""
+    if lq != lk:
+        return 0
+    r = lq % block
+    if r == 0 or r % _ALIGN != 0 or r > _SPLIT_MAX_PFX:
+        return 0
+    if lq - r < 2 * block:
+        return 0
+    return r
+
+
+def _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx):
+    rows = lambda x: (x[:, :n_pfx], x[:, n_pfx:])
+    tabs = lambda t: (t[:n_pfx], t[n_pfx:])
+    return rows(q), rows(k), rows(v), tabs(cos_q), tabs(sin_q), \
+        tabs(cos_k), tabs(sin_k)
+
+
+def _split_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, n_pfx, block):
+    (qp, qm), (kp, km), (vp, vm), (cqp, cqm), (sqp, sqm), (ckp, ckm), \
+        (skp, skm) = _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx)
+    # bulk×bulk — the FLOP carrier, at exact full-size blocks
+    o_mm, lse_mm = _forward(qm, km, vm, cqm, sqm, ckm, skm, h, scale,
+                            block, block)
+    # bulk-q × prefix-kv: one thin kv block (n_pfx rows sit in sublanes —
+    # 16-alignment suffices)
+    o_mp, lse_mp = _forward(qm, kp, vp, cqm, sqm, ckp, skp, h, scale,
+                            block, n_pfx)
+    # prefix-q × FULL kv (its kv side re-derives divisor blocks internally)
+    o_p, lse_p = _forward(qp, k, v, cqp, sqp, cos_k, sin_k, h, scale,
+                          n_pfx, block)
+    o_m, lse_m = _online_merge(o_mm, lse_mm[..., None],
+                               o_mp, lse_mp[..., None], h)
+    o = jnp.concatenate([o_p, o_m], axis=1)
+    lse = jnp.concatenate([lse_p, lse_m[..., 0]], axis=2)
+    return o, lse
+
+
+def _split_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
+               n_pfx, block):
+    (qp, qm), (kp, km), (vp, vm), (cqp, cqm), (sqp, sqm), (ckp, ckm), \
+        (skp, skm) = _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx)
+    o_p, o_m = o[:, :n_pfx], o[:, n_pfx:]
+    lse_p, lse_m = lse[:, :, :n_pfx], lse[:, :, n_pfx:]
+    do_p, do_m = do[:, :n_pfx], do[:, n_pfx:]
+    # each call gets the global (merged) o/lse for its q rows → exact
+    # partial dq and exact dk/dv contributions for its kv range
+    dqm1, dkm, dvm = _backward(qm, km, vm, cqm, sqm, ckm, skm, h, o_m,
+                               lse_m, do_m, scale, block, block)
+    dqm2, dkp, dvp = _backward(qm, kp, vp, cqm, sqm, ckp, skp, h, o_m,
+                               lse_m, do_m, scale, block, n_pfx)
+    dqp, dk3, dv3 = _backward(qp, k, v, cqp, sqp, cos_k, sin_k, h, o_p,
+                              lse_p, do_p, scale, n_pfx, block)
+    f32 = lambda x: x.astype(jnp.float32)
+    dqm = (f32(dqm1) + f32(dqm2)).astype(q.dtype)
+    dq = jnp.concatenate([dqp, dqm], axis=1)
+    dk = (f32(dk3) + f32(jnp.concatenate([dkp, dkm], 1))).astype(k.dtype)
+    dv = (f32(dv3) + f32(jnp.concatenate([dvp, dvm], 1))).astype(v.dtype)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _split_rope_flash(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, n_pfx,
+                      block):
+    o, _ = _split_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, n_pfx,
+                      block)
+    return o
+
+
+def _split_rope_flash_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                          n_pfx, block):
+    o, lse = _split_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                        n_pfx, block)
+    o, lse = _name_attn_residuals(o, lse)
+    return o, (q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse)
+
+
+def _split_rope_flash_bwd(h, scale, n_pfx, block, res, g):
+    q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse = res
+    dq, dk, dv = _split_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse,
+                            g, scale, n_pfx, block)
+    return dq, dk, dv, None, None, None, None
+
+
+_split_rope_flash.defvjp(_split_rope_flash_fwd, _split_rope_flash_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -1258,6 +1369,12 @@ def rope_flash_attention(
         # sizes always select the blocked long path
         block_q = block_k = 0
     else:
+        if block_q is None and block_k is None:
+            n_pfx = _split_prefix(q.shape[1], k.shape[1], DEFAULT_BLOCK_Q)
+            if n_pfx:  # thin-remainder L (registers + tokens): exact split
+                return _split_rope_flash(q, k, v, cos, sin, cos, sin,
+                                         num_heads, scale, n_pfx,
+                                         DEFAULT_BLOCK_Q)
         block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
         block_k = DEFAULT_BLOCK_K if block_k is None else block_k
     return _rope_flash(q, k, v, cos, sin, cos, sin, num_heads, scale,
@@ -1287,6 +1404,10 @@ def norope_flash_attention(
     s_q = jnp.zeros((q.shape[1], dh), jnp.float32)
     c_k = jnp.ones((k.shape[1], dh), jnp.float32)
     s_k = jnp.zeros((k.shape[1], dh), jnp.float32)
+    n_pfx = _split_prefix(q.shape[1], k.shape[1], DEFAULT_BLOCK_Q)
+    if n_pfx:  # same thin-remainder decomposition as rope_flash_attention
+        return _split_rope_flash(q, k, v, c_q, s_q, c_k, s_k, num_heads,
+                                 scale, n_pfx, DEFAULT_BLOCK_Q)
     return _rope_flash(q, k, v, c_q, s_q, c_k, s_k, num_heads, scale,
                        DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, True)
 

@@ -431,6 +431,14 @@ def dit_forward(
     regs = jnp.broadcast_to(
         params["register_tokens"].astype(cdt), (b, r, cfg.hidden_size)
     )
+    if token_sharding is not None:
+        # anchor BOTH concat operands, not just the result: on 4-axis
+        # meshes inside a microbatch scan, shardy otherwise back-propagates
+        # a seq-split sharding into the register broadcast while another
+        # path wants batch×hidden — an involuntary replicate-repartition
+        # per microbatch (round-4 VERDICT weak #2/#6)
+        regs = jax.lax.with_sharding_constraint(regs, token_sharding)
+        tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)
     tokens = jnp.concatenate([regs, tokens], axis=1)  # [B, R+L, D]
     if token_sharding is not None:
         tokens = jax.lax.with_sharding_constraint(tokens, token_sharding)

@@ -1210,6 +1210,11 @@ _ring_attention.defvjp(_ring_attention_vjp_fwd, _ring_attention_vjp_bwd)
 
 _SPLIT_MAX_PFX = 768  # engage only for thin remainders (r = L mod block)
 
+# the split dispatch below tiles the bulk×bulk quadrant with ONE block size
+# on both axes; if the two tuned defaults ever diverge this assert forces
+# whoever changes them to decide which the split path should use
+assert DEFAULT_BLOCK_Q == DEFAULT_BLOCK_K
+
 
 def _split_prefix(lq: int, lk: int, block: int) -> int:
     """Prefix width r > 0 ⟺ the split-prefix path engages: self-attention

@@ -243,6 +243,16 @@ def _build_inloop_branch(cfg: TrainConfig, mesh: Mesh, make_params,
             "full gradient tree never materializes (that is the point)"
         )
 
+    # shardings for ONE block's slice of each stacked tree (leading depth
+    # axis dropped): the reverse scan's per-block grads are constrained to
+    # these so the while carry keeps the params' own sharding (see
+    # build_inloop_step docstring / round-4 VERDICT weak #2)
+    def _slice_shd(ns):
+        spec = tuple(ns.spec)
+        return NamedSharding(mesh, P(*spec[1:]) if spec else P())
+
+    block_slice_shd = jax.tree.map(_slice_shd, params_shd["blocks"])
+
     init_opt, inloop_step, settings = build_inloop_step(
         mcfg, ocfg, params_shape, max_steps=cfg.max_steps,
         nu_factored=ocfg.nu_factored,
@@ -250,6 +260,7 @@ def _build_inloop_branch(cfg: TrainConfig, mesh: Mesh, make_params,
         alpha=cfg.time_shift_alpha,
         caption_dropout=cfg.caption_dropout,
         grad_accum=cfg.grad_accum,
+        block_slice_shardings=block_slice_shd,
     )
     schedule = get_schedule(ocfg.scheduler, ocfg.warmup_steps, cfg.max_steps)
 

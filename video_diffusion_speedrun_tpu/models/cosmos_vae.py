@@ -19,6 +19,12 @@ inventory and names are kept close to the public Cosmos-Tokenizer design so
 a converter can be keyed to the real state dict when weights are present.
 Until then, tests validate the contract (shapes, dtype, causality: frame t
 of the output depends only on latent frames ≤ ceil(t/4)).
+
+Architecture-verification status is recorded claim-by-claim (with
+confidence grades and the residual risks a shape diff cannot catch) in
+docs/COSMOS_VERIFICATION.md; `scripts/convert_cosmos.py infer` derives
+the architecture a real state dict implies, so any divergence from this
+module is established from facts before rework.
 """
 
 from __future__ import annotations

@@ -77,6 +77,59 @@ class TestT5Parity:
         got = encode(params, TINY, jnp.asarray(ids.numpy()), return_index=-2)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
+    def test_deep_return_index_minus8_parity(self):
+        """The TRAINING default return_index=-8 (`train.py:186`) on a model
+        deep enough for -8 to reach a mid-stack state (8 layers → 9 hidden
+        states; -8 = after block 1), vs the reference semantics
+        final_layer_norm(hidden_states[-8]) (`utils.py:66-69`). The 3-layer
+        fixture above cannot index -8 at all (round-4 VERDICT missing #2)."""
+        torch = pytest.importorskip("torch")
+        import transformers
+
+        deep = T5Config(vocab_size=256, d_model=64, d_kv=16, d_ff=128,
+                        num_layers=8, num_heads=4,
+                        compute_dtype=jnp.float32)
+        hf_cfg = transformers.T5Config(
+            vocab_size=deep.vocab_size, d_model=deep.d_model, d_kv=deep.d_kv,
+            d_ff=deep.d_ff, num_layers=deep.num_layers,
+            num_heads=deep.num_heads, feed_forward_proj="gated-gelu",
+            dropout_rate=0.0,
+        )
+        torch.manual_seed(5)
+        model = transformers.T5EncoderModel(hf_cfg).eval()
+        params = convert_torch_t5(model.state_dict(), deep)
+        ids = self._ids(torch, b=2, l=24)
+        with torch.no_grad():
+            hs = model(ids, output_hidden_states=True).hidden_states
+            want = model.encoder.final_layer_norm(hs[-8]).numpy()
+        got = encode(params, deep, jnp.asarray(ids.numpy()), return_index=-8)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_relative_position_buckets_match_hf(self):
+        """Integer-exact bucket parity vs transformers'
+        T5Attention._relative_position_bucket across the exact region, the
+        log region, the max_distance clamp, and both signs — the 1e-9 log
+        fudge (`text/t5.py:72`) is exactly where off-by-one bucket drift
+        would hide (round-4 VERDICT next #7)."""
+        torch = pytest.importorskip("torch")
+        from transformers.models.t5.modeling_t5 import T5Attention
+
+        from video_diffusion_speedrun_tpu.text.t5 import (
+            relative_position_buckets,
+        )
+
+        num_buckets, max_distance = 32, 128
+        qlen = klen = 300  # spans |rel| in [0, 299] ⊃ clamp region (>128)
+        ctx = torch.arange(qlen)[:, None]
+        mem = torch.arange(klen)[None, :]
+        want = T5Attention._relative_position_bucket(
+            mem - ctx, bidirectional=True, num_buckets=num_buckets,
+            max_distance=max_distance).numpy()
+        got = np.asarray(relative_position_buckets(
+            qlen, klen, num_buckets, max_distance))
+        np.testing.assert_array_equal(got, want)
+
     def test_random_init_runs(self):
         params = init_t5(jax.random.PRNGKey(0), TINY)
         ids = jnp.zeros((1, 8), jnp.int32)

@@ -703,3 +703,44 @@ class TestSplitPrefixPath:
             got = fa.norope_flash_attention(q, k, v, H)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref(q, k, v)),
                                    atol=2e-5, rtol=1e-4)
+
+    def test_merge_fallback_path(self):
+        """With _TAIL_MAX forced to 0 the 3-call merge decomposition runs
+        (the fallback for wide prefixes / fp32 VMEM caps) — keep it exact
+        now that thin prefixes default to the tail-fused kernels."""
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        with mock.patch.object(fa, "_TAIL_MAX", 0):
+            self._check(l=144, n_pfx=16, block=64)
+            self._check(l=240, n_pfx=48, block=64, seed=11)
+
+    def test_tail_and_merge_paths_agree(self):
+        """The tail-fused and 3-call merge decompositions of the same split
+        produce matching o and grads (both exact up to fp rounding)."""
+        from unittest import mock
+
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        q, k, v, cos, sin = self._setup_l(144, seed=5)
+        scale = D ** -0.5
+
+        def run():
+            def loss(q, k, v):
+                return jnp.sum(fa._split_rope_flash(
+                    q, k, v, cos, sin, cos, sin, H, scale, 16, 64) ** 2)
+            o = fa._split_rope_flash(q, k, v, cos, sin, cos, sin, H, scale,
+                                     16, 64)
+            return o, jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        assert fa._use_tail(q, 16, 128, 64)
+        o_tail, g_tail = run()
+        with mock.patch.object(fa, "_TAIL_MAX", 0):
+            o_merge, g_merge = run()
+        np.testing.assert_allclose(np.asarray(o_tail), np.asarray(o_merge),
+                                   atol=2e-5, rtol=1e-4)
+        for name, a, b in zip("qkv", g_tail, g_merge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"d{name}")

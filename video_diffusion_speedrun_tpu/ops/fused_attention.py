@@ -271,10 +271,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0, 0]      # [bq, 1] — column layout (see forward)
     delta = delta_ref[0, 0]
 
-    qc = q.astype(v.dtype)
+    # every scalar fold lives on a [*, D] operand (block/D× fewer VPU ops
+    # than the [bq, bk] logits tile): qs carries scale·log2e into the s
+    # matmul (matching the forward's fold bit-for-bit at bf16), and ds
+    # stays UNSCALED with `scale` carried by qd/kd into the dk/dq matmuls
+    qs = (q * (scale * _LOG2E)).astype(v.dtype)
+    qd = (q * scale).astype(v.dtype)
     kc = k.astype(v.dtype)
-    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    s = jax.lax.dot_general(qs, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     if has_bias:
         s = s + kb_ref[:]
     p = jnp.exp2(s - lse)  # lse is log2-domain (see forward)
@@ -288,11 +293,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(do.dtype)
-    dk_scr[:] += jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
+    ds = (p * (dp - delta)).astype(do.dtype)
+    dk_scr[:] += jax.lax.dot_general(ds, qd, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     if emit_dq:
-        dq_part = jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+        kd = (k * scale).astype(v.dtype)
+        dq_part = jax.lax.dot_general(ds, kd, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         # rotation is linear: rotate each partial back; the outside sum of
         # rotated partials equals the rotation of the summed dq
@@ -340,10 +346,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0, 0]      # [bq, 1] — column layout (see forward)
     delta = delta_ref[0, 0]
 
-    qc = q.astype(v.dtype)
+    # scalar folds on [*, D] operands — see _bwd_dkv_kernel
+    qs = (q * (scale * _LOG2E)).astype(v.dtype)
     kc = k.astype(v.dtype)
-    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    kd = (k * scale).astype(v.dtype)
+    s = jax.lax.dot_general(qs, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     if has_bias:
         s = s + kb_ref[:]
     p = jnp.exp2(s - lse)
@@ -354,8 +362,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(do.dtype)
-    dq_scr[:] += jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+    ds = (p * (dp - delta)).astype(do.dtype)
+    dq_scr[:] += jax.lax.dot_general(ds, kd, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(ki == nk - 1)
@@ -564,10 +572,11 @@ def _fwd_short_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     if use_rope:
         q = _rope_rotate(q, cq_ref[:], sq_ref[:])
         k = _rope_rotate(k, ck_ref[:], sk_ref[:])
+    q = q * (scale * _LOG2E)  # [bq, D] fold — see _fwd_kernel
     s = jax.lax.dot_general(
         q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (scale * _LOG2E)
+    )
     if kv_len != k.shape[0]:  # static: mask only when kv is padded
         mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < kv_len
         s = jnp.where(mask, s, _NEG_INF)
@@ -830,10 +839,13 @@ def _bwd_short_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
                     axis=-1, keepdims=True)
 
-    qc = q.astype(v.dtype)
+    # scalar folds on [*, D] operands — see _bwd_dkv_kernel
+    qs = (q * (scale * _LOG2E)).astype(v.dtype)
+    qd = (q * scale).astype(v.dtype)
     kc = k.astype(v.dtype)
-    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    kd = (k * scale).astype(v.dtype)
+    s = jax.lax.dot_general(qs, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     p = jnp.exp2(s - lse)  # log2-domain lse (see forward)
     if kv_len != k.shape[0]:  # static: zero padded kv columns
         mask = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) < kv_len
@@ -844,13 +856,13 @@ def _bwd_short_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(do.dtype)
-    dq = jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+    ds = (p * (dp - delta)).astype(do.dtype)
+    dq = jax.lax.dot_general(ds, kd, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if use_rope:
         dq = _rope_rotate_t(dq, cq_ref[:], sq_ref[:])
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_scr[:] += jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
+    dk_scr[:] += jax.lax.dot_general(ds, qd, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(qi == nq - 1)
@@ -931,13 +943,14 @@ def _backward_short(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do,
 
 def _ring_fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                      kb_ref, o_ref, lse_ref, *, scale):
-    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
+    q = _rope_rotate(q_ref[0].astype(jnp.float32),
+                     cq_ref[:], sq_ref[:]) * (scale * _LOG2E)  # [bq, D] fold
     k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
     v = v_ref[0]
     s = jax.lax.dot_general(
         q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * (scale * _LOG2E) + kb_ref[:]  # [1, lk] additive mask (0 / -1e30)
+    ) + kb_ref[:]  # [1, lk] additive mask (0 / -1e30)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
@@ -968,11 +981,13 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
     delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
                     axis=-1, keepdims=True)
 
-    qc = q.astype(v.dtype)
+    # scalar folds on [*, D] operands — see _bwd_dkv_kernel
+    qs = (q * (scale * _LOG2E)).astype(v.dtype)
+    qd = (q * scale).astype(v.dtype)
     kc = k.astype(v.dtype)
-    s = jax.lax.dot_general(qc, kc, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * (
-        scale * _LOG2E) + kb_ref[:]
+    kd = (k * scale).astype(v.dtype)
+    s = jax.lax.dot_general(qs, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) + kb_ref[:]
     p = jnp.exp2(s - lse)  # global (merged) lse ⇒ exact per-chunk partials
 
     pt = p.astype(do.dtype)
@@ -980,11 +995,11 @@ def _ring_bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                                      preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(do.dtype)
-    dq = jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+    ds = (p * (dp - delta)).astype(do.dtype)
+    dq = jax.lax.dot_general(ds, kd, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dq_ref[0] = _rope_rotate_t(dq, cq_ref[:], sq_ref[:]).astype(dq_ref.dtype)
-    dk_scr[:] += jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
+    dk_scr[:] += jax.lax.dot_general(ds, qd, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(qi == nq - 1)
@@ -1237,9 +1252,275 @@ def _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx):
         tabs(cos_k), tabs(sin_k)
 
 
+# ---------------------------------------------------------------------------
+# tail-fused split: for thin prefixes (≤ _TAIL_MAX rows) the prefix k/v is
+# processed INSIDE the bulk kernels as an extra online-softmax update at one
+# grid step — the kernel emits the already-merged o/lse (fwd) and the exact
+# dk/dv/dq including the prefix columns (bwd). This removes the separate
+# bulk×prefix kernel call, the `_online_merge` elementwise pass over the
+# full [B, L, H·D] output (measured ~18 ms/step at L=8208 — the largest
+# single split overhead), and one fp32 dq merge-add per layer. Larger
+# prefixes (rare: L is tokens + 16 registers in production) fall back to
+# the 3-call merge decomposition below.
+# ---------------------------------------------------------------------------
+
+_TAIL_MAX = 128
+
+
+def _tail_merge_kernel(o_ref, lse_ref, q_ref, cq_ref, sq_ref,
+                       kt_ref, vt_ref, ckt_ref, skt_ref,
+                       oo_ref, lseo_ref, *, scale):
+    """One bandwidth-bound pass: attend this q block against the [n_pfx, D]
+    prefix k/v (tiny MXU work) and online-merge the result into the bulk
+    quadrant's normalized (o, lse). Replaces the separate bulk×prefix
+    kernel call AND the XLA `_online_merge` elementwise pass (measured
+    ~18 ms/step at L=8208). Kept OUT of the bulk forward kernel itself:
+    extra small operands there break its double-buffering (see
+    _fwd_kernel_nobias — a 16-wide dummy measured 2×)."""
+    q = _rope_rotate(q_ref[0].astype(jnp.float32),
+                     cq_ref[:], sq_ref[:]) * (scale * _LOG2E)
+    kt = _rope_rotate(kt_ref[0].astype(jnp.float32), ckt_ref[:], skt_ref[:])
+    vt = vt_ref[0]
+    st = jax.lax.dot_general(q.astype(vt.dtype), kt.astype(vt.dtype),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    m0 = jnp.max(st, axis=1, keepdims=True)
+    p0 = jnp.exp2(st - m0)
+    l0 = jnp.sum(p0, axis=1, keepdims=True)
+    acc0 = jax.lax.dot_general(p0.astype(vt.dtype), vt,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    # merge: A0 = 2^m0·acc0, Z0 = 2^m0·l0 against the normalized o1 with
+    # Z1 = 2^lse1 — numerators/denominators rescaled by 2^-m, m = max
+    lse1 = lse_ref[0, 0]               # [block, 1]
+    m = jnp.maximum(lse1, m0)
+    w1 = jnp.exp2(lse1 - m)
+    u0 = jnp.exp2(m0 - m)
+    l = w1 + u0 * l0
+    o = (w1 * o_ref[0].astype(jnp.float32) + u0 * acc0) / l
+    oo_ref[0] = o.astype(oo_ref.dtype)
+    lseo_ref[0, 0] = m + jnp.log2(l)
+
+
+def _forward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
+                  cos_t, sin_t, h, scale, block):
+    """Bulk rows' forward over [prefix ⊕ bulk] kv; q/k/v are the bulk rows
+    (length % block == 0), kt/vt the [B, n_pfx, H·D] prefix rows. The bulk
+    quadrant runs the unmodified `_forward` (its kernel pipeline is
+    operand-count sensitive); the prefix columns fold in via one
+    `_tail_merge_kernel` pass."""
+    b, lq, hd = q.shape
+    d = hd // h
+    dh = d // 2
+    n_pfx = kt.shape[1]
+    nq = lq // block
+    o1, lse1 = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+                        block, block)
+    o, lse = pl.pallas_call(
+        functools.partial(_tail_merge_kernel, scale=scale),
+        grid=(b, h, nq),
+        in_specs=[
+            pl.BlockSpec((1, block, d), lambda b, h, qi: (b, qi, h)),
+            pl.BlockSpec((1, 1, block, 1), lambda b, h, qi: (b, h, qi, 0)),
+            pl.BlockSpec((1, block, d), lambda b, h, qi: (b, qi, h)),
+            pl.BlockSpec((block, dh), lambda b, h, qi: (qi, 0)),
+            pl.BlockSpec((block, dh), lambda b, h, qi: (qi, 0)),
+            pl.BlockSpec((1, n_pfx, d), lambda b, h, qi: (b, 0, h)),
+            pl.BlockSpec((1, n_pfx, d), lambda b, h, qi: (b, 0, h)),
+            pl.BlockSpec((n_pfx, dh), lambda b, h, qi: (0, 0)),
+            pl.BlockSpec((n_pfx, dh), lambda b, h, qi: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block, d), lambda b, h, qi: (b, qi, h)),
+            pl.BlockSpec((1, 1, block, 1), lambda b, h, qi: (b, h, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lq, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * n_pfx * d,
+            bytes_accessed=2 * b * h * 3 * lq * d,
+            transcendentals=b * h * lq * n_pfx,
+        ),
+        interpret=_interpret(),
+    )(o1, lse1[..., None], q, cos_q, sin_q, kt, vt, cos_t, sin_t)
+    return o, lse[:, :, :, 0]
+
+
+def _bwd_dkv_kernel_tail(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         cq_ref, sq_ref, ck_ref, sk_ref,
+                         kt_ref, vt_ref, ckt_ref, skt_ref,
+                         dk_ref, dv_ref, dqp_ref, dkt_ref, dvt_ref,
+                         dk_scr, dv_scr, dkt_scr, dvt_scr, dqt_scr,
+                         *, scale):
+    """`_bwd_dkv_kernel` (fused-dq form, no pad mask) with the prefix
+    columns' contributions — dkt/dvt plus the prefix part of dq — computed
+    at the ki == 0 grid steps from the same global lse/delta (exact chunked
+    flash backward, as in the ring path)."""
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+    ki = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
+    k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    # scalar folds on [*, D] operands — see _bwd_dkv_kernel
+    qs = (q * (scale * _LOG2E)).astype(v.dtype)
+    qd = (q * scale).astype(v.dtype)
+    kc = k.astype(v.dtype)
+    kd = (k * scale).astype(v.dtype)
+    s = jax.lax.dot_general(qs, kc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(s - lse)
+    pt = p.astype(do.dtype)
+    dv_scr[:] += jax.lax.dot_general(pt, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(do.dtype)
+    dk_scr[:] += jax.lax.dot_general(ds, qd, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dq_part = jax.lax.dot_general(ds, kd, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(ki == 0)
+    def _():
+        @pl.when(qi == 0)
+        def _():
+            dkt_scr[:] = jnp.zeros_like(dkt_scr)
+            dvt_scr[:] = jnp.zeros_like(dvt_scr)
+        kt = _rope_rotate(kt_ref[0].astype(jnp.float32),
+                          ckt_ref[:], skt_ref[:])
+        ktc = kt.astype(v.dtype)
+        ktd = (kt * scale).astype(v.dtype)
+        st = jax.lax.dot_general(qs, ktc, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        p_t = jnp.exp2(st - lse)
+        dvt_scr[:] += jax.lax.dot_general(
+            p_t.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(do, vt_ref[0], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dst = (p_t * (dpt - delta)).astype(do.dtype)
+        dkt_scr[:] += jax.lax.dot_general(dst, qd, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        # prefix part of this q block's dq, carried through dqp slot ki=0
+        dqt_scr[:] = jax.lax.dot_general(dst, ktd, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+        @pl.when(qi == nq - 1)
+        def _():
+            dkt_ref[0] = _rope_rotate_t(dkt_scr[:], ckt_ref[:],
+                                        skt_ref[:]).astype(dkt_ref.dtype)
+            dvt_ref[0] = dvt_scr[:].astype(dvt_ref.dtype)
+
+    # ki > 0 reads stale dqt_scr; the where() discards it
+    dq_part = dq_part + jnp.where(ki == 0, dqt_scr[:], 0.0)
+    dqp_ref[0, 0] = _rope_rotate_t(dq_part, cq_ref[:],
+                                   sq_ref[:]).astype(dqp_ref.dtype)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = _rope_rotate_t(dk_scr[:], ck_ref[:],
+                                   sk_ref[:]).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _backward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
+                   cos_t, sin_t, h, o, lse, do, scale, block):
+    """Bulk rows' backward over [prefix ⊕ bulk] kv. Returns
+    (dq_bulk, dk_bulk, dv_bulk, dk_pfx, dv_pfx)."""
+    b, lq, hd = q.shape
+    d = hd // h
+    dh = d // 2
+    n_pfx = kt.shape[1]
+    nq = nk = lq // block
+
+    dof = do.astype(jnp.float32).reshape(b, lq, h, d)
+    of = o.astype(jnp.float32).reshape(b, lq, h, d)
+    delta = jnp.einsum("blhd,blhd->bhl", dof, of)
+    lsep = lse[..., None]
+    deltap = delta[..., None]
+
+    qspec = pl.BlockSpec((1, block, d), lambda b, h, ki, qi: (b, qi, h))
+    kspec = pl.BlockSpec((1, block, d), lambda b, h, ki, qi: (b, ki, h))
+    lspec = pl.BlockSpec((1, 1, block, 1), lambda b, h, ki, qi: (b, h, qi, 0))
+    cq_s = pl.BlockSpec((block, dh), lambda b, h, ki, qi: (qi, 0))
+    ck_s = pl.BlockSpec((block, dh), lambda b, h, ki, qi: (ki, 0))
+    ktspec = pl.BlockSpec((1, n_pfx, d), lambda b, h, ki, qi: (b, 0, h))
+    ct_s = pl.BlockSpec((n_pfx, dh), lambda b, h, ki, qi: (0, 0))
+    dqp_spec = pl.BlockSpec((1, 1, block, d),
+                            lambda b, h, ki, qi: (ki, b, qi, h))
+
+    dk, dv, dqp, dkt, dvt = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_tail, scale=scale),
+        grid=(b, h, nk, nq),
+        in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
+                  cq_s, cq_s, ck_s, ck_s, ktspec, ktspec, ct_s, ct_s],
+        out_specs=(kspec, kspec, dqp_spec, ktspec, ktspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, lq, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, lq, hd), v.dtype),
+            jax.ShapeDtypeStruct((nk, b, lq, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, n_pfx, hd), k.dtype),
+            jax.ShapeDtypeStruct((b, n_pfx, hd), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((n_pfx, d), jnp.float32),
+            pltpu.VMEM((n_pfx, d), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            # the tail residents (prefix k/v + dkt/dvt scratch + the dqt
+            # carry) push ~1.7 MB past the 16 MB scoped-vmem default; v5e
+            # has 128 MB physical VMEM — grant the kernel headroom rather
+            # than shrinking the 1024² blocks the bulk quadrant needs
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, do, lsep, deltap, cos_q, sin_q, cos_k, sin_k,
+      kt, vt, cos_t, sin_t)
+    dq = dqp.sum(axis=0, dtype=jnp.float32).astype(q.dtype)
+    return dq, dk, dv, dkt, dvt
+
+
+def _use_tail(q, n_pfx, bulk, block):
+    """Tail-fused split engages for thin prefixes on the bf16 production
+    path (fp32 inputs blow the bwd VMEM budget at full-size blocks — they
+    keep the 3-call merge path, whose `_backward` caps fp32 blocks)."""
+    return (n_pfx <= _TAIL_MAX and bulk // block <= _MAX_DQ_PARTIALS
+            and (q.dtype.itemsize < 4 or _interpret()))
+
+
 def _split_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, n_pfx, block):
     (qp, qm), (kp, km), (vp, vm), (cqp, cqm), (sqp, sqm), (ckp, ckm), \
         (skp, skm) = _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx)
+    if _use_tail(q, n_pfx, qm.shape[1], block):
+        # bulk rows in ONE kernel over [prefix ⊕ bulk] kv — merged o/lse
+        # come straight out of the online softmax; no _online_merge pass
+        o_m, lse_m = _forward_tail(qm, km, vm, kp, vp, cqm, sqm, ckm, skm,
+                                   ckp, skp, h, scale, block)
+        o_p, lse_p = _forward(qp, k, v, cqp, sqp, cos_k, sin_k, h, scale,
+                              n_pfx, block)
+        return (jnp.concatenate([o_p, o_m], axis=1),
+                jnp.concatenate([lse_p, lse_m], axis=2))
     # bulk×bulk — the FLOP carrier, at exact full-size blocks
     o_mm, lse_mm = _forward(qm, km, vm, cqm, sqm, ckm, skm, h, scale,
                             block, block)
@@ -1264,6 +1545,19 @@ def _split_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     o_p, o_m = o[:, :n_pfx], o[:, n_pfx:]
     lse_p, lse_m = lse[:, :, :n_pfx], lse[:, :, n_pfx:]
     do_p, do_m = do[:, :n_pfx], do[:, n_pfx:]
+    f32 = lambda x: x.astype(jnp.float32)
+    if _use_tail(q, n_pfx, qm.shape[1], block):
+        # ONE kernel yields the bulk rows' dq (incl. prefix columns) and
+        # dk/dv for both kv ranges; only the thin prefix-q call remains
+        dqm, dkm, dvm, dkp, dvp = _backward_tail(
+            qm, km, vm, kp, vp, cqm, sqm, ckm, skm, ckp, skp, h, o_m,
+            lse_m, do_m, scale, block)
+        dqp, dk3, dv3 = _backward(qp, k, v, cqp, sqp, cos_k, sin_k, h, o_p,
+                                  lse_p, do_p, scale, n_pfx, block)
+        dq = jnp.concatenate([dqp, dqm], axis=1)
+        dk = (f32(dk3) + f32(jnp.concatenate([dkp, dkm], 1))).astype(k.dtype)
+        dv = (f32(dv3) + f32(jnp.concatenate([dvp, dvm], 1))).astype(v.dtype)
+        return dq, dk, dv
     # each call gets the global (merged) o/lse for its q rows → exact
     # partial dq and exact dk/dv contributions for its kv range
     dqm1, dkm, dvm = _backward(qm, km, vm, cqm, sqm, ckm, skm, h, o_m,
@@ -1272,7 +1566,6 @@ def _split_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                                lse_m, do_m, scale, block, n_pfx)
     dqp, dk3, dv3 = _backward(qp, k, v, cqp, sqp, cos_k, sin_k, h, o_p,
                               lse_p, do_p, scale, n_pfx, block)
-    f32 = lambda x: x.astype(jnp.float32)
     dqm = (f32(dqm1) + f32(dqm2)).astype(q.dtype)
     dq = jnp.concatenate([dqp, dqm], axis=1)
     dk = (f32(dk3) + f32(jnp.concatenate([dkp, dkm], 1))).astype(k.dtype)

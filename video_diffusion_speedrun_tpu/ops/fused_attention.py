@@ -71,6 +71,29 @@ def _rope_rotate_t(x, cos, sin):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1)
 
 
+def _rotate_flat(x, cos, sin, h, transpose=False):
+    """RoPE over the flat [B, L, H·D] layout as ONE XLA elementwise pass
+    (head h's pair halves at columns [h·D, h·D+D/2) / [h·D+D/2, h·D+D)).
+
+    Used by the pre-rotated long-path mode: at L ≫ block the in-kernel
+    rotation re-rotates the same rows once per opposing block (nk×/nq×)
+    and re-DMAs a [block, D/2] table slice per grid step — ~1 µs of the
+    ~6–13 µs tile budget. Rotating once per layer here costs one
+    read+write of x instead. Same rounding points as the in-kernel form:
+    fp32 math on the bf16 input, cast back to x.dtype."""
+    b, l, hd = x.shape
+    d = hd // h
+    xr = x.reshape(b, l, h, 2, d // 2).astype(jnp.float32)
+    x1, x2 = xr[:, :, :, 0], xr[:, :, :, 1]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    if transpose:
+        y1, y2 = x1 * c - x2 * s, x1 * s + x2 * c
+    else:
+        y1, y2 = x1 * c + x2 * s, -x1 * s + x2 * c
+    return jnp.stack([y1, y2], axis=3).reshape(b, l, hd).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -83,6 +106,17 @@ def _fwd_kernel_nobias(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     a 16-wide constant-index dummy measured 2x on the long-path forward
     (1.60 → 3.00 ms at L=8192; it breaks the pipeline's double-buffering)."""
     _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                None, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                scale=scale, kv_len=kv_len, block_k=block_k, has_bias=False)
+
+
+def _fwd_kernel_noro(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                     acc_scr, *, scale, kv_len, block_k):
+    """Pre-rotated arity: q/k already carry RoPE (rotated once per layer
+    outside — at long L the in-kernel rotation re-rotates the same rows
+    nk× and re-DMAs a table block per grid step; see `_rotate_flat`).
+    Table operands are OMITTED entirely (same pipeline rule as no-bias)."""
+    _fwd_kernel(q_ref, k_ref, v_ref, None, None, None, None,
                 None, o_ref, lse_ref, m_scr, l_scr, acc_scr,
                 scale=scale, kv_len=kv_len, block_k=block_k, has_bias=False)
 
@@ -103,8 +137,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     k = k_ref[0].astype(jnp.float32)   # [bk, D]
     v = v_ref[0]                        # [bk, D]
 
-    q = _rope_rotate(q, cq_ref[:], sq_ref[:])
-    k = _rope_rotate(k, ck_ref[:], sk_ref[:])
+    if cq_ref is not None:
+        q = _rope_rotate(q, cq_ref[:], sq_ref[:])
+        k = _rope_rotate(k, ck_ref[:], sk_ref[:])
 
     # logits in the exp2 domain: fold log2(e) into the scale so the online
     # softmax uses the VPU-native exp2 instead of exp
@@ -155,6 +190,7 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
     d = hd // h
     lk = k.shape[1]
     has_bias = kbias is not None
+    pre_roped = cos_q is None  # q/k already rotated — no table operands
     # prefer exact divisor blocks (16-aligned — block_q/block_k only ever
     # sit in sublane dims) so ragged video lengths (L = tokens + registers,
     # e.g. 8208) tile with zero padding; fall back to minimal 128-pad blocks.
@@ -166,10 +202,6 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
     qp = _pad_dim(q, 1, block_q)
     kp = _pad_dim(k, 1, block_k)
     vp = _pad_dim(v, 1, block_k)
-    cqp = _pad_dim(cos_q, 0, block_q)
-    sqp = _pad_dim(sin_q, 0, block_q)
-    ckp = _pad_dim(cos_k, 0, block_k)
-    skp = _pad_dim(sin_k, 0, block_k)
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
     dh = d // 2
@@ -177,18 +209,27 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
         pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h)),
         pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
         pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h)),
-        pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
-        pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
-        pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
-        pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
     ]
-    operands = [qp, kp, vp, cqp, sqp, ckp, skp]
+    operands = [qp, kp, vp]
+    if not pre_roped:
+        in_specs += [
+            pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
+            pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0)),
+        ]
+        operands += [_pad_dim(cos_q, 0, block_q), _pad_dim(sin_q, 0, block_q),
+                     _pad_dim(cos_k, 0, block_k), _pad_dim(sin_k, 0, block_k)]
     if has_bias:  # [1, lk] additive mask, block-sliced along kv
+        assert not pre_roped  # ring path always carries tables
         in_specs.append(
             pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki)))
         operands.append(_pad_dim(kbias, 1, block_k))
         kern = functools.partial(_fwd_kernel, scale=scale, kv_len=lk,
                                  block_k=block_k, has_bias=True)
+    elif pre_roped:
+        kern = functools.partial(_fwd_kernel_noro, scale=scale, kv_len=lk,
+                                 block_k=block_k)
     else:  # no kb operand at all (see _fwd_kernel_nobias)
         kern = functools.partial(_fwd_kernel_nobias, scale=scale, kv_len=lk,
                                  block_k=block_k)
@@ -242,6 +283,19 @@ def _bwd_dkv_kernel_nobias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     emit_dq=emit_dq, has_bias=False)
 
 
+def _bwd_dkv_kernel_noro(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dk_ref, dv_ref, *refs,
+                         scale, kv_len, block_k, emit_dq=True):
+    """Pre-rotated arity (see _fwd_kernel_noro): emits dq partials and dk
+    in ROPED space — the caller applies the transpose rotation outside,
+    folded into the dq partials reduction / the dk epilogue."""
+    _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    None, None, None, None, None,
+                    dk_ref, dv_ref, *refs,
+                    scale=scale, kv_len=kv_len, block_k=block_k,
+                    emit_dq=emit_dq, has_bias=False)
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     cq_ref, sq_ref, ck_ref, sk_ref, kb_ref,
                     dk_ref, dv_ref, *refs,
@@ -264,8 +318,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
-    k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    if cq_ref is not None:
+        q = _rope_rotate(q, cq_ref[:], sq_ref[:])
+        k = _rope_rotate(k, ck_ref[:], sk_ref[:])
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]      # [bq, 1] — column layout (see forward)
@@ -300,15 +357,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         kd = (k * scale).astype(v.dtype)
         dq_part = jax.lax.dot_general(ds, kd, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        # rotation is linear: rotate each partial back; the outside sum of
-        # rotated partials equals the rotation of the summed dq
-        dqp_ref[0, 0] = _rope_rotate_t(dq_part, cq_ref[:],
-                                       sq_ref[:]).astype(dqp_ref.dtype)
+        if cq_ref is not None:
+            # rotation is linear: rotate each partial back; the outside sum
+            # of rotated partials equals the rotation of the summed dq
+            dq_part = _rope_rotate_t(dq_part, cq_ref[:], sq_ref[:])
+        dqp_ref[0, 0] = dq_part.astype(dqp_ref.dtype)
 
     @pl.when(qi == nq - 1)
     def _():
         # rotate accumulated dK (in roped space) back: dk = Rᵀ·dk_roped
-        dk = _rope_rotate_t(dk_scr[:], ck_ref[:], sk_ref[:])
+        # (pre-rotated mode leaves it roped; the caller rotates outside)
+        dk = dk_scr[:]
+        if ck_ref is not None:
+            dk = _rope_rotate_t(dk, ck_ref[:], sk_ref[:])
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
@@ -320,6 +381,17 @@ def _bwd_dq_kernel_nobias(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     """No-bias arity — see _fwd_kernel_nobias."""
     _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    cq_ref, sq_ref, ck_ref, sk_ref, None,
+                   dq_ref, dq_scr,
+                   scale=scale, kv_len=kv_len, block_k=block_k,
+                   has_bias=False)
+
+
+def _bwd_dq_kernel_noro(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dq_ref, dq_scr, *, scale, kv_len, block_k):
+    """Pre-rotated arity — dq emitted in roped space (see
+    _bwd_dkv_kernel_noro)."""
+    _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   None, None, None, None, None,
                    dq_ref, dq_scr,
                    scale=scale, kv_len=kv_len, block_k=block_k,
                    has_bias=False)
@@ -339,8 +411,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
-    k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    if cq_ref is not None:
+        q = _rope_rotate(q, cq_ref[:], sq_ref[:])
+        k = _rope_rotate(k, ck_ref[:], sk_ref[:])
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]      # [bq, 1] — column layout (see forward)
@@ -368,7 +443,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(ki == nk - 1)
     def _():
-        dq = _rope_rotate_t(dq_scr[:], cq_ref[:], sq_ref[:])
+        dq = dq_scr[:]
+        if cq_ref is not None:
+            dq = _rope_rotate_t(dq, cq_ref[:], sq_ref[:])
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -379,10 +456,14 @@ _MAX_DQ_PARTIALS = 16
 
 def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
               block_q, block_k, kbias=None):
+    """cos_q=None ⇒ pre-rotated mode: q/k already carry RoPE and the
+    returned dq/dk are in ROPED space (callers fold the transpose rotation
+    into their own epilogues)."""
     b, lq, hd = q.shape
     d = hd // h
     lk = k.shape[1]
     has_bias = kbias is not None
+    pre_roped = cos_q is None
     # divisor blocks (see _forward) — block_q/block_k live in sublane dims
     # everywhere; only the kbias row pins block_k to lanes (128-mult).
     # fp32 inputs double the double-buffered operand windows: at
@@ -403,10 +484,6 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     dop = _pad_dim(do, 1, block_q)
     kp = _pad_dim(k, 1, block_k)
     vp = _pad_dim(v, 1, block_k)
-    cqp = _pad_dim(cos_q, 0, block_q)
-    sqp = _pad_dim(sin_q, 0, block_q)
-    ckp = _pad_dim(cos_k, 0, block_k)
-    skp = _pad_dim(sin_k, 0, block_k)
     lqp, lkp = qp.shape[1], kp.shape[1]
     nq, nk = lqp // block_q, lkp // block_k
     # lse/delta enter at the boundary layout [b,h,L]; the kernels read the
@@ -415,12 +492,19 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     deltap = _pad_dim(delta, 2, block_q)[..., None]
     interpret = _interpret()
     common = dict(scale=scale, kv_len=lk, block_k=block_k)
+    if not pre_roped:
+        tabs = [_pad_dim(cos_q, 0, block_q), _pad_dim(sin_q, 0, block_q),
+                _pad_dim(cos_k, 0, block_k), _pad_dim(sin_k, 0, block_k)]
     if has_bias:
+        assert not pre_roped  # ring path always carries tables
         common["has_bias"] = True
         kb = [_pad_dim(kbias, 1, block_k)]
         kb_s = [pl.BlockSpec((1, block_k), lambda b, h, ki, qi: (0, ki))]
         kb_s2 = [pl.BlockSpec((1, block_k), lambda b, h, qi, ki: (0, ki))]
         dkv_kern, dq_kern = _bwd_dkv_kernel, _bwd_dq_kernel
+    elif pre_roped:
+        kb, kb_s, kb_s2 = [], [], []
+        dkv_kern, dq_kern = _bwd_dkv_kernel_noro, _bwd_dq_kernel_noro
     else:  # no kb operand at all (see _fwd_kernel_nobias)
         kb, kb_s, kb_s2 = [], [], []
         dkv_kern, dq_kern = _bwd_dkv_kernel_nobias, _bwd_dq_kernel_nobias
@@ -430,6 +514,8 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     lspec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, ki, qi: (b, h, qi, 0))
     cq_s = pl.BlockSpec((block_q, dh), lambda b, h, ki, qi: (qi, 0))
     ck_s = pl.BlockSpec((block_k, dh), lambda b, h, ki, qi: (ki, 0))
+    tab_s = [] if pre_roped else [cq_s, cq_s, ck_s, ck_s]
+    tab_ops = [] if pre_roped else tabs
 
     fuse_dq = nk <= _MAX_DQ_PARTIALS
     if fuse_dq:
@@ -443,8 +529,8 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
         dk, dv, dqp = pl.pallas_call(
             functools.partial(dkv_kern, **common),
             grid=(b, h, nk, nq),
-            in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
-                      cq_s, cq_s, ck_s, ck_s] + kb_s,
+            in_specs=[qspec, kspec, kspec, qspec, lspec, lspec]
+                     + tab_s + kb_s,
             out_specs=(kspec, kspec, dqp_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
@@ -460,7 +546,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                                      "arbitrary"),
             ),
             interpret=interpret,
-        )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, *kb)
+        )(qp, kp, vp, dop, lsep, deltap, *tab_ops, *kb)
         # reduce in fp32 regardless of storage dtype (one fused pass:
         # bf16 reads, fp32 accumulate, bf16 write)
         dq = dqp.sum(axis=0, dtype=jnp.float32).astype(q.dtype)
@@ -469,8 +555,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
     dk, dv = pl.pallas_call(
         functools.partial(dkv_kern, emit_dq=False, **common),
         grid=(b, h, nk, nq),
-        in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
-                  cq_s, cq_s, ck_s, ck_s] + kb_s,
+        in_specs=[qspec, kspec, kspec, qspec, lspec, lspec] + tab_s + kb_s,
         out_specs=(kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, lkp, hd), k.dtype),
@@ -485,7 +570,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, *kb)
+    )(qp, kp, vp, dop, lsep, deltap, *tab_ops, *kb)
 
     qspec2 = pl.BlockSpec((1, block_q, d), lambda b, h, qi, ki: (b, qi, h))
     kspec2 = pl.BlockSpec((1, block_k, d), lambda b, h, qi, ki: (b, ki, h))
@@ -493,11 +578,12 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                           lambda b, h, qi, ki: (b, h, qi, 0))
     cq_s2 = pl.BlockSpec((block_q, dh), lambda b, h, qi, ki: (qi, 0))
     ck_s2 = pl.BlockSpec((block_k, dh), lambda b, h, qi, ki: (ki, 0))
+    tab_s2 = [] if pre_roped else [cq_s2, cq_s2, ck_s2, ck_s2]
     dq = pl.pallas_call(
         functools.partial(dq_kern, **common),
         grid=(b, h, nq, nk),
-        in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2,
-                  cq_s2, cq_s2, ck_s2, ck_s2] + kb_s2,
+        in_specs=[qspec2, kspec2, kspec2, qspec2, lspec2, lspec2]
+                 + tab_s2 + kb_s2,
         out_specs=qspec2,
         out_shape=jax.ShapeDtypeStruct((b, lqp, hd), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -506,7 +592,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, dop, lsep, deltap, cqp, sqp, ckp, skp, *kb)
+    )(qp, kp, vp, dop, lsep, deltap, *tab_ops, *kb)
     return dq[:, :lq], dk[:, :lk], dv[:, :lk]
 
 
@@ -1267,8 +1353,7 @@ def _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx):
 _TAIL_MAX = 128
 
 
-def _tail_merge_kernel(o_ref, lse_ref, q_ref, cq_ref, sq_ref,
-                       kt_ref, vt_ref, ckt_ref, skt_ref,
+def _tail_merge_kernel(o_ref, lse_ref, q_ref, kt_ref, vt_ref,
                        oo_ref, lseo_ref, *, scale):
     """One bandwidth-bound pass: attend this q block against the [n_pfx, D]
     prefix k/v (tiny MXU work) and online-merge the result into the bulk
@@ -1276,12 +1361,11 @@ def _tail_merge_kernel(o_ref, lse_ref, q_ref, cq_ref, sq_ref,
     kernel call AND the XLA `_online_merge` elementwise pass (measured
     ~18 ms/step at L=8208). Kept OUT of the bulk forward kernel itself:
     extra small operands there break its double-buffering (see
-    _fwd_kernel_nobias — a 16-wide dummy measured 2×)."""
-    q = _rope_rotate(q_ref[0].astype(jnp.float32),
-                     cq_ref[:], sq_ref[:]) * (scale * _LOG2E)
-    kt = _rope_rotate(kt_ref[0].astype(jnp.float32), ckt_ref[:], skt_ref[:])
+    _fwd_kernel_nobias — a 16-wide dummy measured 2×). q/kt arrive
+    pre-rotated (`_rotate_flat`)."""
+    q = q_ref[0].astype(jnp.float32) * (scale * _LOG2E)
     vt = vt_ref[0]
-    st = jax.lax.dot_general(q.astype(vt.dtype), kt.astype(vt.dtype),
+    st = jax.lax.dot_general(q.astype(vt.dtype), kt_ref[0],
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     m0 = jnp.max(st, axis=1, keepdims=True)
@@ -1302,19 +1386,17 @@ def _tail_merge_kernel(o_ref, lse_ref, q_ref, cq_ref, sq_ref,
     lseo_ref[0, 0] = m + jnp.log2(l)
 
 
-def _forward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
-                  cos_t, sin_t, h, scale, block):
-    """Bulk rows' forward over [prefix ⊕ bulk] kv; q/k/v are the bulk rows
-    (length % block == 0), kt/vt the [B, n_pfx, H·D] prefix rows. The bulk
-    quadrant runs the unmodified `_forward` (its kernel pipeline is
-    operand-count sensitive); the prefix columns fold in via one
-    `_tail_merge_kernel` pass."""
+def _forward_tail(q, k, v, kt, vt, h, scale, block):
+    """Bulk rows' forward over [prefix ⊕ bulk] kv; q/k/v the PRE-ROTATED
+    bulk rows (length % block == 0), kt/vt the [B, n_pfx, H·D] pre-rotated
+    prefix rows. The bulk quadrant runs table-free `_forward` (its kernel
+    pipeline is operand-count sensitive); the prefix columns fold in via
+    one `_tail_merge_kernel` pass."""
     b, lq, hd = q.shape
     d = hd // h
-    dh = d // 2
     n_pfx = kt.shape[1]
     nq = lq // block
-    o1, lse1 = _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
+    o1, lse1 = _forward(q, k, v, None, None, None, None, h, scale,
                         block, block)
     o, lse = pl.pallas_call(
         functools.partial(_tail_merge_kernel, scale=scale),
@@ -1323,12 +1405,8 @@ def _forward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
             pl.BlockSpec((1, block, d), lambda b, h, qi: (b, qi, h)),
             pl.BlockSpec((1, 1, block, 1), lambda b, h, qi: (b, h, qi, 0)),
             pl.BlockSpec((1, block, d), lambda b, h, qi: (b, qi, h)),
-            pl.BlockSpec((block, dh), lambda b, h, qi: (qi, 0)),
-            pl.BlockSpec((block, dh), lambda b, h, qi: (qi, 0)),
             pl.BlockSpec((1, n_pfx, d), lambda b, h, qi: (b, 0, h)),
             pl.BlockSpec((1, n_pfx, d), lambda b, h, qi: (b, 0, h)),
-            pl.BlockSpec((n_pfx, dh), lambda b, h, qi: (0, 0)),
-            pl.BlockSpec((n_pfx, dh), lambda b, h, qi: (0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block, d), lambda b, h, qi: (b, qi, h)),
@@ -1347,20 +1425,21 @@ def _forward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
             transcendentals=b * h * lq * n_pfx,
         ),
         interpret=_interpret(),
-    )(o1, lse1[..., None], q, cos_q, sin_q, kt, vt, cos_t, sin_t)
+    )(o1, lse1[..., None], q, kt, vt)
     return o, lse[:, :, :, 0]
 
 
 def _bwd_dkv_kernel_tail(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         cq_ref, sq_ref, ck_ref, sk_ref,
-                         kt_ref, vt_ref, ckt_ref, skt_ref,
+                         kt_ref, vt_ref,
                          dk_ref, dv_ref, dqp_ref, dkt_ref, dvt_ref,
                          dk_scr, dv_scr, dkt_scr, dvt_scr, dqt_scr,
                          *, scale):
     """`_bwd_dkv_kernel` (fused-dq form, no pad mask) with the prefix
     columns' contributions — dkt/dvt plus the prefix part of dq — computed
     at the ki == 0 grid steps from the same global lse/delta (exact chunked
-    flash backward, as in the ring path)."""
+    flash backward, as in the ring path). q/k/kt arrive PRE-ROTATED
+    (`_rotate_flat`); every emitted gradient is in roped space — the
+    caller folds the transpose rotation into its epilogue passes."""
     qi = pl.program_id(3)
     nq = pl.num_programs(3)
     ki = pl.program_id(2)
@@ -1370,8 +1449,8 @@ def _bwd_dkv_kernel_tail(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = _rope_rotate(q_ref[0].astype(jnp.float32), cq_ref[:], sq_ref[:])
-    k = _rope_rotate(k_ref[0].astype(jnp.float32), ck_ref[:], sk_ref[:])
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]
@@ -1402,8 +1481,7 @@ def _bwd_dkv_kernel_tail(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         def _():
             dkt_scr[:] = jnp.zeros_like(dkt_scr)
             dvt_scr[:] = jnp.zeros_like(dvt_scr)
-        kt = _rope_rotate(kt_ref[0].astype(jnp.float32),
-                          ckt_ref[:], skt_ref[:])
+        kt = kt_ref[0].astype(jnp.float32)
         ktc = kt.astype(v.dtype)
         ktd = (kt * scale).astype(v.dtype)
         st = jax.lax.dot_general(qs, ktc, (((1,), (1,)), ((), ())),
@@ -1423,29 +1501,25 @@ def _bwd_dkv_kernel_tail(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
         @pl.when(qi == nq - 1)
         def _():
-            dkt_ref[0] = _rope_rotate_t(dkt_scr[:], ckt_ref[:],
-                                        skt_ref[:]).astype(dkt_ref.dtype)
+            dkt_ref[0] = dkt_scr[:].astype(dkt_ref.dtype)
             dvt_ref[0] = dvt_scr[:].astype(dvt_ref.dtype)
 
     # ki > 0 reads stale dqt_scr; the where() discards it
     dq_part = dq_part + jnp.where(ki == 0, dqt_scr[:], 0.0)
-    dqp_ref[0, 0] = _rope_rotate_t(dq_part, cq_ref[:],
-                                   sq_ref[:]).astype(dqp_ref.dtype)
+    dqp_ref[0, 0] = dq_part.astype(dqp_ref.dtype)
 
     @pl.when(qi == nq - 1)
     def _():
-        dk_ref[0] = _rope_rotate_t(dk_scr[:], ck_ref[:],
-                                   sk_ref[:]).astype(dk_ref.dtype)
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _backward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
-                   cos_t, sin_t, h, o, lse, do, scale, block):
-    """Bulk rows' backward over [prefix ⊕ bulk] kv. Returns
-    (dq_bulk, dk_bulk, dv_bulk, dk_pfx, dv_pfx)."""
+def _backward_tail(q, k, v, kt, vt, h, o, lse, do, scale, block):
+    """Bulk rows' backward over [prefix ⊕ bulk] kv; q/k/kt PRE-ROTATED.
+    Returns (dq_bulk, dk_bulk, dv_bulk, dk_pfx, dv_pfx) with the dq/dk
+    parts in roped space (callers rotate back, folded into the epilogue)."""
     b, lq, hd = q.shape
     d = hd // h
-    dh = d // 2
     n_pfx = kt.shape[1]
     nq = nk = lq // block
 
@@ -1458,10 +1532,7 @@ def _backward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
     qspec = pl.BlockSpec((1, block, d), lambda b, h, ki, qi: (b, qi, h))
     kspec = pl.BlockSpec((1, block, d), lambda b, h, ki, qi: (b, ki, h))
     lspec = pl.BlockSpec((1, 1, block, 1), lambda b, h, ki, qi: (b, h, qi, 0))
-    cq_s = pl.BlockSpec((block, dh), lambda b, h, ki, qi: (qi, 0))
-    ck_s = pl.BlockSpec((block, dh), lambda b, h, ki, qi: (ki, 0))
     ktspec = pl.BlockSpec((1, n_pfx, d), lambda b, h, ki, qi: (b, 0, h))
-    ct_s = pl.BlockSpec((n_pfx, dh), lambda b, h, ki, qi: (0, 0))
     dqp_spec = pl.BlockSpec((1, 1, block, d),
                             lambda b, h, ki, qi: (ki, b, qi, h))
 
@@ -1469,7 +1540,7 @@ def _backward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
         functools.partial(_bwd_dkv_kernel_tail, scale=scale),
         grid=(b, h, nk, nq),
         in_specs=[qspec, kspec, kspec, qspec, lspec, lspec,
-                  cq_s, cq_s, ck_s, ck_s, ktspec, ktspec, ct_s, ct_s],
+                  ktspec, ktspec],
         out_specs=(kspec, kspec, dqp_spec, ktspec, ktspec),
         out_shape=(
             jax.ShapeDtypeStruct((b, lq, hd), k.dtype),
@@ -1495,8 +1566,9 @@ def _backward_tail(q, k, v, kt, vt, cos_q, sin_q, cos_k, sin_k,
             vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(q, k, v, do, lsep, deltap, cos_q, sin_q, cos_k, sin_k,
-      kt, vt, cos_t, sin_t)
+    )(q, k, v, do, lsep, deltap, kt, vt)
+    # roped-space dq; the caller's _rotate_flat(transpose=True) epilogue
+    # restores it (rotation is linear — rotate-after-sum ≡ sum-of-rotated)
     dq = dqp.sum(axis=0, dtype=jnp.float32).astype(q.dtype)
     return dq, dk, dv, dkt, dvt
 
@@ -1509,18 +1581,51 @@ def _use_tail(q, n_pfx, bulk, block):
             and (q.dtype.itemsize < 4 or _interpret()))
 
 
+def _split_fwd_roped(q_r, k_r, v, h, scale, n_pfx, block):
+    """Tail-fused forward over PRE-ROTATED q/k: bulk rows via the
+    table-free kernel + one `_tail_merge_kernel` pass; prefix rows via a
+    thin table-free call over the full kv."""
+    qp, qm = q_r[:, :n_pfx], q_r[:, n_pfx:]
+    kp, km = k_r[:, :n_pfx], k_r[:, n_pfx:]
+    vp, vm = v[:, :n_pfx], v[:, n_pfx:]
+    o_m, lse_m = _forward_tail(qm, km, vm, kp, vp, h, scale, block)
+    o_p, lse_p = _forward(qp, k_r, v, None, None, None, None, h, scale,
+                          n_pfx, block)
+    return (jnp.concatenate([o_p, o_m], axis=1),
+            jnp.concatenate([lse_p, lse_m], axis=2))
+
+
+def _split_bwd_roped(q_r, k_r, v, h, o, lse, do, scale, n_pfx, block):
+    """Tail-fused backward over PRE-ROTATED q/k; returns (dq_r, dk_r, dv)
+    with dq_r/dk_r still in roped space."""
+    qp, qm = q_r[:, :n_pfx], q_r[:, n_pfx:]
+    kp, km = k_r[:, :n_pfx], k_r[:, n_pfx:]
+    vp, vm = v[:, :n_pfx], v[:, n_pfx:]
+    o_p, o_m = o[:, :n_pfx], o[:, n_pfx:]
+    lse_p, lse_m = lse[:, :, :n_pfx], lse[:, :, n_pfx:]
+    do_p, do_m = do[:, :n_pfx], do[:, n_pfx:]
+    f32 = lambda x: x.astype(jnp.float32)
+    # ONE kernel yields the bulk rows' dq (incl. prefix columns) and
+    # dk/dv for both kv ranges; only the thin prefix-q call remains
+    dqm, dkm, dvm, dkp, dvp = _backward_tail(
+        qm, km, vm, kp, vp, h, o_m, lse_m, do_m, scale, block)
+    dqp, dk3, dv3 = _backward(qp, k_r, v, None, None, None, None, h, o_p,
+                              lse_p, do_p, scale, n_pfx, block)
+    dq_r = jnp.concatenate([dqp, dqm], axis=1)
+    dk_r = (f32(dk3) + f32(jnp.concatenate([dkp, dkm], 1))).astype(k_r.dtype)
+    dv = (f32(dv3) + f32(jnp.concatenate([dvp, dvm], 1))).astype(v.dtype)
+    return dq_r, dk_r, dv
+
+
 def _split_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, n_pfx, block):
+    if _use_tail(q, n_pfx, q.shape[1] - n_pfx, block):
+        # rotate ONCE per layer outside the kernels (`_rotate_flat`) —
+        # merged o/lse come straight out of the online softmax
+        q_r = _rotate_flat(q, cos_q, sin_q, h)
+        k_r = _rotate_flat(k, cos_k, sin_k, h)
+        return _split_fwd_roped(q_r, k_r, v, h, scale, n_pfx, block)
     (qp, qm), (kp, km), (vp, vm), (cqp, cqm), (sqp, sqm), (ckp, ckm), \
         (skp, skm) = _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx)
-    if _use_tail(q, n_pfx, qm.shape[1], block):
-        # bulk rows in ONE kernel over [prefix ⊕ bulk] kv — merged o/lse
-        # come straight out of the online softmax; no _online_merge pass
-        o_m, lse_m = _forward_tail(qm, km, vm, kp, vp, cqm, sqm, ckm, skm,
-                                   ckp, skp, h, scale, block)
-        o_p, lse_p = _forward(qp, k, v, cqp, sqp, cos_k, sin_k, h, scale,
-                              n_pfx, block)
-        return (jnp.concatenate([o_p, o_m], axis=1),
-                jnp.concatenate([lse_p, lse_m], axis=2))
     # bulk×bulk — the FLOP carrier, at exact full-size blocks
     o_mm, lse_mm = _forward(qm, km, vm, cqm, sqm, ckm, skm, h, scale,
                             block, block)
@@ -1540,24 +1645,14 @@ def _split_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, n_pfx, block):
 
 def _split_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
                n_pfx, block):
+    """3-call merge-path backward (wide prefixes / fp32); the tail-fused
+    backward lives in `_split_bwd_roped` (dispatched by the custom VJP)."""
     (qp, qm), (kp, km), (vp, vm), (cqp, cqm), (sqp, sqm), (ckp, ckm), \
         (skp, skm) = _split_parts(q, k, v, cos_q, sin_q, cos_k, sin_k, n_pfx)
     o_p, o_m = o[:, :n_pfx], o[:, n_pfx:]
     lse_p, lse_m = lse[:, :, :n_pfx], lse[:, :, n_pfx:]
     do_p, do_m = do[:, :n_pfx], do[:, n_pfx:]
     f32 = lambda x: x.astype(jnp.float32)
-    if _use_tail(q, n_pfx, qm.shape[1], block):
-        # ONE kernel yields the bulk rows' dq (incl. prefix columns) and
-        # dk/dv for both kv ranges; only the thin prefix-q call remains
-        dqm, dkm, dvm, dkp, dvp = _backward_tail(
-            qm, km, vm, kp, vp, cqm, sqm, ckm, skm, ckp, skp, h, o_m,
-            lse_m, do_m, scale, block)
-        dqp, dk3, dv3 = _backward(qp, k, v, cqp, sqp, cos_k, sin_k, h, o_p,
-                                  lse_p, do_p, scale, n_pfx, block)
-        dq = jnp.concatenate([dqp, dqm], axis=1)
-        dk = (f32(dk3) + f32(jnp.concatenate([dkp, dkm], 1))).astype(k.dtype)
-        dv = (f32(dv3) + f32(jnp.concatenate([dvp, dvm], 1))).astype(v.dtype)
-        return dq, dk, dv
     # each call gets the global (merged) o/lse for its q rows → exact
     # partial dq and exact dk/dv contributions for its kv range
     dqm1, dkm, dvm = _backward(qm, km, vm, cqm, sqm, ckm, skm, h, o_m,
@@ -1583,6 +1678,15 @@ def _split_rope_flash(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, n_pfx,
 
 def _split_rope_flash_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
                           n_pfx, block):
+    if _use_tail(q, n_pfx, q.shape[1] - n_pfx, block):
+        # the q/k residual slots hold the ROTATED arrays — the backward
+        # reuses them instead of re-rotating (the predicate re-derives
+        # this choice from shapes/dtype alone)
+        q_r = _rotate_flat(q, cos_q, sin_q, h)
+        k_r = _rotate_flat(k, cos_k, sin_k, h)
+        o, lse = _split_fwd_roped(q_r, k_r, v, h, scale, n_pfx, block)
+        o, lse = _name_attn_residuals(o, lse)
+        return o, (q_r, k_r, v, cos_q, sin_q, cos_k, sin_k, o, lse)
     o, lse = _split_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
                         n_pfx, block)
     o, lse = _name_attn_residuals(o, lse)
@@ -1591,6 +1695,14 @@ def _split_rope_flash_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
 
 def _split_rope_flash_bwd(h, scale, n_pfx, block, res, g):
     q, k, v, cos_q, sin_q, cos_k, sin_k, o, lse = res
+    if _use_tail(q, n_pfx, q.shape[1] - n_pfx, block):
+        # q/k slots hold rotated arrays (see fwd); grads come back roped
+        # and are restored by one fused rotate-back pass each
+        dq_r, dk_r, dv = _split_bwd_roped(q, k, v, h, o, lse, g, scale,
+                                          n_pfx, block)
+        dq = _rotate_flat(dq_r, cos_q, sin_q, h, transpose=True)
+        dk = _rotate_flat(dk_r, cos_k, sin_k, h, transpose=True)
+        return dq, dk, dv, None, None, None, None
     dq, dk, dv = _split_bwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse,
                             g, scale, n_pfx, block)
     return dq, dk, dv, None, None, None, None

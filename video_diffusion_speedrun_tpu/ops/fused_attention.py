@@ -43,6 +43,17 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain (native VPU op)
 
 
+def _vmem_limit(block_q: int, block_k: int):
+    """Scoped-vmem limit override for the blocked kernels: tiles beyond
+    1024² exceed the 16 MB compiler default (the fp32 logits-tile family
+    alone is ~12 B/logit on the backward); v5e has 128 MB physical VMEM.
+    Returns None at the default sizes so standard-tile compiles keep the
+    compiler's own budgetting."""
+    if block_q * block_k <= 1024 * 1024:
+        return None
+    return 96 * 1024 * 1024
+
+
 def _name_attn_residuals(o, lse):
     """Tag the kernel outputs for `jax.checkpoint` save policies.
 
@@ -254,6 +265,7 @@ def _forward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale, block_q, block_k,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(block_q, block_k),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lqp * lkp * d,
@@ -568,6 +580,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(block_q, block_k),
         ),
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap, *tab_ops, *kb)
@@ -590,6 +603,7 @@ def _backward(q, k, v, cos_q, sin_q, cos_k, sin_k, h, o, lse, do, scale,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(block_q, block_k),
         ),
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap, *tab_ops, *kb)
@@ -1514,14 +1528,14 @@ def _bwd_dkv_kernel_tail(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _backward_tail(q, k, v, kt, vt, h, o, lse, do, scale, block):
+def _backward_tail(q, k, v, kt, vt, h, o, lse, do, scale, block_q, block_k):
     """Bulk rows' backward over [prefix ⊕ bulk] kv; q/k/kt PRE-ROTATED.
     Returns (dq_bulk, dk_bulk, dv_bulk, dk_pfx, dv_pfx) with the dq/dk
     parts in roped space (callers rotate back, folded into the epilogue)."""
     b, lq, hd = q.shape
     d = hd // h
     n_pfx = kt.shape[1]
-    nq = nk = lq // block
+    nq, nk = lq // block_q, lq // block_k
 
     dof = do.astype(jnp.float32).reshape(b, lq, h, d)
     of = o.astype(jnp.float32).reshape(b, lq, h, d)
@@ -1529,11 +1543,12 @@ def _backward_tail(q, k, v, kt, vt, h, o, lse, do, scale, block):
     lsep = lse[..., None]
     deltap = delta[..., None]
 
-    qspec = pl.BlockSpec((1, block, d), lambda b, h, ki, qi: (b, qi, h))
-    kspec = pl.BlockSpec((1, block, d), lambda b, h, ki, qi: (b, ki, h))
-    lspec = pl.BlockSpec((1, 1, block, 1), lambda b, h, ki, qi: (b, h, qi, 0))
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, h, ki, qi: (b, qi, h))
+    kspec = pl.BlockSpec((1, block_k, d), lambda b, h, ki, qi: (b, ki, h))
+    lspec = pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, ki, qi: (b, h, qi, 0))
     ktspec = pl.BlockSpec((1, n_pfx, d), lambda b, h, ki, qi: (b, 0, h))
-    dqp_spec = pl.BlockSpec((1, 1, block, d),
+    dqp_spec = pl.BlockSpec((1, 1, block_q, d),
                             lambda b, h, ki, qi: (ki, b, qi, h))
 
     dk, dv, dqp, dkt, dvt = pl.pallas_call(
@@ -1550,11 +1565,11 @@ def _backward_tail(q, k, v, kt, vt, h, o, lse, do, scale, block):
             jax.ShapeDtypeStruct((b, n_pfx, hd), v.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block, d), jnp.float32),
-            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((n_pfx, d), jnp.float32),
             pltpu.VMEM((n_pfx, d), jnp.float32),
-            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -1606,9 +1621,18 @@ def _split_bwd_roped(q_r, k_r, v, h, o, lse, do, scale, n_pfx, block):
     do_p, do_m = do[:, :n_pfx], do[:, n_pfx:]
     f32 = lambda x: x.astype(jnp.float32)
     # ONE kernel yields the bulk rows' dq (incl. prefix columns) and
-    # dk/dv for both kv ranges; only the thin prefix-q call remains
+    # dk/dv for both kv ranges; only the thin prefix-q call remains.
+    # Backward blocks are ASYMMETRIC (block/2 × 2·block) when the bulk
+    # divides: wider kv halves the dq-partials buffer (nk 8→4 at L=8208,
+    # trace-measured reduce 0.22→0.07 ms/layer-call) and the q/do
+    # re-streaming, at unchanged logits-tile footprint.
+    bulk = qm.shape[1]
+    if block % 2 == 0 and bulk % (2 * block) == 0:
+        bq_b, bk_b = block // 2, 2 * block
+    else:
+        bq_b = bk_b = block
     dqm, dkm, dvm, dkp, dvp = _backward_tail(
-        qm, km, vm, kp, vp, h, o_m, lse_m, do_m, scale, block)
+        qm, km, vm, kp, vp, h, o_m, lse_m, do_m, scale, bq_b, bk_b)
     dqp, dk3, dv3 = _backward(qp, k_r, v, None, None, None, None, h, o_p,
                               lse_p, do_p, scale, n_pfx, block)
     dq_r = jnp.concatenate([dqp, dqm], axis=1)
@@ -1743,6 +1767,12 @@ def _preroted_flash_fwd(q, k, v, cos_q, sin_q, cos_k, sin_k, h, scale,
 
 def _preroted_flash_bwd(h, scale, block_q, block_k, res, g):
     q_r, k_r, v, cos_q, sin_q, cos_k, sin_k, o, lse = res
+    # asymmetric backward blocks when shapes divide cleanly — see
+    # _split_bwd_roped (halves the dq-partials buffer + q/do restreaming)
+    lq, lk = q_r.shape[1], k_r.shape[1]
+    if (block_q == block_k and block_q % 2 == 0
+            and lq % (block_q // 2) == 0 and lk % (2 * block_k) == 0):
+        block_q, block_k = block_q // 2, 2 * block_k
     dq_r, dk_r, dv = _backward(q_r, k_r, v, None, None, None, None, h, o,
                                lse, g, scale, block_q, block_k)
     dq = dq_r if cos_q is None else _rotate_flat(dq_r, cos_q, sin_q, h,

@@ -704,6 +704,18 @@ class TestSplitPrefixPath:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref(q, k, v)),
                                    atol=2e-5, rtol=1e-4)
 
+    def test_dual_subtile_forward(self):
+        """block=32 with a 128-row bulk drives the dual-subtile forward
+        (_fwd_kernel_noro2: lk % (2·block) == 0 with ≥2 windows) — exact
+        vs the unfused reference, fwd + grads."""
+        from video_diffusion_speedrun_tpu.ops import fused_attention as fa
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 128, H * D),
+                              jnp.float32)
+        # sanity: the dispatch condition holds for these shapes
+        assert 128 % (2 * 32) == 0 and 128 // (2 * 32) >= 2
+        self._check(l=144, n_pfx=16, block=32, seed=13)
+
     def test_merge_fallback_path(self):
         """With _TAIL_MAX forced to 0 the 3-call merge decomposition runs
         (the fallback for wide prefixes / fp32 VMEM caps) — keep it exact

@@ -63,10 +63,13 @@ def _odd_poly(coeffs, t):
 
 def _phi_poly(x):
     """Φ(x) = 0.5 + odd-poly(x/R) on |x| ≤ R, hard-saturated to 0/1 beyond:
-    the clamped poly endpoint carries a ~4.6e-4 residual that would otherwise
-    leak a wrong-signed +|x|·4.6e-4 into gelu(x) for x < −R (growing linearly
-    with |x|), while the true Φ(±R) is within 1.4e-5 of the asymptote."""
-    t = jnp.clip(x * (1.0 / _POLY_R), -1.0, 1.0)
+    the saturation wheres override the raw poly value for every |x| ≥ R
+    (a select discards the unselected branch, diverging-poly, ±inf and all
+    — NaN inputs still propagate through the phi branch), so no clip on t
+    is needed; the exact 0/1 endpoints matter because a ~4.6e-4 poly
+    endpoint residual would otherwise leak a wrong-signed +|x|·4.6e-4 into
+    gelu(x) for x < −R (growing linearly with |x|)."""
+    t = x * (1.0 / _POLY_R)
     phi = 0.5 + _odd_poly(_PHI_C, t)
     return jnp.where(x <= -_POLY_R, 0.0, jnp.where(x >= _POLY_R, 1.0, phi))
 
@@ -74,8 +77,9 @@ def _phi_poly(x):
 def _dgelu_poly(x):
     """gelu'(x) on |x| ≤ R, hard-saturated to 0/1 beyond (true gelu'(±R) is
     within 5e-5 of the asymptote; the unclamped endpoint would leak ~1e-3
-    gradient through saturated units)."""
-    t = jnp.clip(x * (1.0 / _POLY_R), -1.0, 1.0)
+    gradient through saturated units). Same no-clip rationale as
+    _phi_poly."""
+    t = x * (1.0 / _POLY_R)
     dg = 0.5 + _odd_poly(_DGELU_C, t)
     return jnp.where(x <= -_POLY_R, 0.0, jnp.where(x >= _POLY_R, 1.0, dg))
 
